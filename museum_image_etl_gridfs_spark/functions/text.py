@@ -1,0 +1,130 @@
+"""Text-analysis column functions for the training-data pipeline.
+
+All pure JVM-side expressions (regexp / string builtins) — no Python
+UDFs in the hot path, so they stay inside whole-stage codegen and
+scale linearly with executors. Each has an exact ANSI-SQL rendering
+so the DuckDB oracle can verify it.
+
+Extensions beyond the reference (which does no text analysis; its
+only string ops are f-string filename building, ``src/ingestion.py:65``):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword
+#: language heuristic. Chosen to be discriminative and regex-safe.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "y"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; empty/NULL -> 0."""
+    t = F.trim(_col(text))
+    return (
+        F.when(t.isNull() | (t == ""), F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("int")
+    )
+
+
+def char_count(text: Column | str) -> Column:
+    return F.coalesce(F.length(_col(text)), F.lit(0)).cast("int")
+
+
+def punct_count(text: Column | str) -> Column:
+    """Count of sentence punctuation [.!?,;:]."""
+    t = F.coalesce(_col(text), F.lit(""))
+    return F.length(t) - F.length(F.regexp_replace(t, r"[.!?,;:]", ""))
+
+
+def digit_ratio(text: Column | str) -> Column:
+    t = F.coalesce(_col(text), F.lit(""))
+    n = F.length(t)
+    digits = n - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(digits / n)
+
+
+def uppercase_ratio(text: Column | str) -> Column:
+    t = F.coalesce(_col(text), F.lit(""))
+    n = F.length(t)
+    uppers = n - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(uppers / n)
+
+
+def mean_token_len(text: Column | str) -> Column:
+    """Average token length = chars-without-spaces / tokens."""
+    t = F.trim(F.coalesce(_col(text), F.lit("")))
+    toks = token_count(t)
+    solid = F.length(F.regexp_replace(t, r"\s+", ""))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(solid / toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document-quality score in [0, 1].
+
+    Rewards sentence punctuation density near ~1/20 chars and mean
+    token length in [3, 12]; penalizes digit- and shouting-heavy text.
+    Deliberately simple arithmetic so the oracle can replicate it.
+    """
+    t = F.coalesce(_col(text), F.lit(""))
+    n = F.greatest(F.length(t), F.lit(1))
+    punct_density = punct_count(t) / n
+    mtl = mean_token_len(t)
+    len_ok = F.when((mtl >= 3) & (mtl <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_density <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    digit_pen = digit_ratio(t)
+    upper_pen = uppercase_ratio(t)
+    raw = (
+        F.lit(0.4) * len_ok
+        + F.lit(0.3) * punct_ok
+        - F.lit(0.2) * digit_pen
+        - F.lit(0.1) * upper_pen
+        + F.lit(0.3)
+    )
+    return F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized content fingerprint: md5 over lowercase,
+    whitespace-collapsed text. Identical hex output in DuckDB."""
+    t = F.coalesce(_col(text), F.lit(""))
+    normalized = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Stopword-marker language heuristic over LANG_MARKERS.
+
+    Scores each language by count of its marker words (word-bounded,
+    case-insensitive) and returns the argmax, 'und' (undetermined) on
+    an all-zero tie. Ties between languages break by the dict order
+    above (greatest() keeps the first max via strict > comparison).
+    """
+    t = F.lower(F.coalesce(_col(text), F.lit("")))
+
+    def score(lang: str) -> Column:
+        total = F.lit(0)
+        for w in LANG_MARKERS[lang]:
+            pat = rf"\b{w}\b"
+            total = total + F.size(F.split(t, pat)) - 1
+        return total
+
+    scores = {lang: score(lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # reversed so that earlier dict entries win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best <= 0, F.lit("und")).otherwise(result)

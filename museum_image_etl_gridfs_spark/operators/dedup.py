@@ -1,0 +1,264 @@
+"""Deduplication operators.
+
+Reference semantics (the one real query in the reference):
+``src/transform_load.py:47-70`` groups ``artwork_metadata`` by
+``object_id``, keeps groups with count > 1 (a MongoDB aggregation
+pipeline), then deletes all but the first document of each group.
+"Arrival order" there is nondeterministic; we pin keep-first with an
+explicit ordering (SURVEY.md A3).
+
+Scale notes:
+- ``duplicate_groups`` / ``dedup_keep_first`` are single-shuffle hash
+  aggregations / windows on the group key. At 100 TB the only risk is
+  key skew, which AQE skew-join/partition-split handles; no
+  driver-side materialization anywhere (the reference's
+  ``list(coll.aggregate(...))`` pulls all duplicate groups into the
+  client — we never do).
+- MinHash/SimHash near-dup live here too: shingle -> sketch ->
+  band -> self-join on (band, signature) buckets. The band self-join
+  is the classic LSH trick that turns O(n^2) pair comparison into a
+  bucket-local join — the only scalable shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def duplicate_groups(
+    df: DataFrame, keys: Sequence[str], min_count: int = 2
+) -> DataFrame:
+    """Groups appearing more than once: key cols + ``dup_count``.
+
+    Spark form of the reference's $group/$match pipeline
+    (``src/transform_load.py:48-50``): partial (map-side) + final hash
+    aggregate, then a HAVING filter — one shuffle on the keys.
+    """
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") >= min_count)
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str]
+) -> DataFrame:
+    """Keep exactly one row per key group: the first under ``order_by``.
+
+    Deterministic version of the reference's ``docs_list[0]`` keep /
+    ``[1:]`` delete (``src/transform_load.py:57-70``) — the reference
+    keeps arbitrary arrival order; we order explicitly (include a
+    unique tiebreaker in ``order_by`` for full determinism).
+    One shuffle; executed as a window row_number + filter, which AQE
+    can skew-split. Equivalent to a left-anti of losers (S9/W1).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Exact duplicate removal on ``columns`` (default: all).
+
+    Hash-groupBy dedup — Spark plans ``dropDuplicates`` as a partial
+    + final aggregate, so most duplicate elimination happens map-side
+    before the shuffle.
+    """
+    return df.dropDuplicates(list(columns) if columns else None)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (training-data pipeline extensions)
+# ---------------------------------------------------------------------------
+
+# Mersenne prime 2^31-1: keeps a*h + b < 2^62, inside int64 even with
+# ANSI overflow checking (Spark 4 default).
+_MERSENNE = (1 << 31) - 1
+
+
+def _rand_coeffs(n: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing, via a simple
+    LCG so results are reproducible without numpy on executors."""
+    coeffs = []
+    state = seed & 0x7FFFFFFF or 1
+    for _ in range(n):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state | 1  # odd, nonzero
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state
+        coeffs.append((a, b))
+    return coeffs
+
+
+def shingles(text_col, k: int = 5) -> "F.Column":
+    """Character k-shingle set of normalized text, as array<string>.
+
+    Whitespace-collapsed lowercase, sliding window of k chars —
+    standard MinHash preprocessing (Broder '97). JVM-side via
+    sequence + transform; no UDF.
+    """
+    t = F.regexp_replace(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+", " ")
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.when(n < k, F.array(t)).otherwise(
+            F.transform(idx, lambda i: t.substr(i, F.lit(k)))
+        )
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42) -> "F.Column":
+    """MinHash signature array<long> of length ``num_hashes``.
+
+    Each hash_i = min over shingles of (a_i * xxhash64(s) + b_i) mod p
+    — all higher-order expressions, evaluated JVM-side per row; no
+    shuffle, no UDF. (MinHashLSH in MLlib needs vector input; this
+    keeps us in plain DataFrame land.)
+    """
+    coeffs = _rand_coeffs(num_hashes, seed)
+
+    def hash_fn(a: int, b: int):
+        # factory so the Column lambda keeps a 1-arg signature
+        # (PySpark maps lambda arity onto HOF arity)
+        return lambda s: (
+            F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) + F.lit(b)
+        ) % F.lit(_MERSENNE)
+
+    hashes = [
+        F.array_min(F.transform(shingle_col, hash_fn(a, b))) for a, b in coeffs
+    ]
+    return F.array(*hashes)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Pipeline: shingle -> signature -> split into ``bands`` bands ->
+    explode (id, band_idx, band_hash) -> self-join on the band bucket
+    -> estimate Jaccard from full signatures -> filter. Returns
+    (id_a, id_b, jaccard_est) with id_a < id_b.
+
+    Scale: the only shuffle is the bucket self-join; candidate pairs
+    are band-local so cost tracks true-duplicate density, not n^2.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), k), num_hashes, seed).alias("sig"),
+    )
+
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    jaccard = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+            )
+        )
+        / F.lit(num_hashes)
+    ).alias("jaccard_est")
+    return (
+        pairs.select("id_a", "id_b", jaccard)
+        .filter(F.col("jaccard_est") >= min_jaccard)
+    )
+
+
+def simhash(text_col, bits: int = 64) -> "F.Column":
+    """64-bit SimHash of whitespace tokens (Charikar '02).
+
+    Per-token xxhash64; for each bit position sum +1/-1 weighted by
+    the bit, take the sign. All JVM-side expressions.
+    """
+    tokens = F.split(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+", " "),
+        " ",
+    )
+    hashes = F.transform(tokens, lambda tok: F.xxhash64(tok))
+
+    def bit_contrib(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for i in range(bits):
+        contrib = F.aggregate(hashes, F.lit(0), bit_contrib(i))
+        bit_cols.append(
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return total
+
+
+def hamming64(a, b) -> "F.Column":
+    """Hamming distance between two int64 simhashes (bit_count of xor)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b))
+
+
+def ngram_jaccard(a_tokens, b_tokens) -> "F.Column":
+    """Exact Jaccard similarity of two token arrays."""
+    inter = F.size(F.array_intersect(a_tokens, b_tokens))
+    union = F.size(F.array_union(a_tokens, b_tokens))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)

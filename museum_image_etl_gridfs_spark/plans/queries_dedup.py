@@ -1,0 +1,110 @@
+"""Deduplication queries over ``documents`` (training-data pipeline).
+
+Exact dedup is oracle-checked; the sketch-based near-dup operators
+(MinHash-LSH, SimHash) rely on Spark-specific xxhash64 so they get
+rows-only checks here and full behavioral tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import fingerprint
+from ..operators.dedup import minhash_near_duplicates, simhash
+from .registry import query
+
+_SQL_FINGERPRINT = "md5(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "exact_dedup_stats",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT)                            AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT)                AS n_distinct_text,
+           CAST(COUNT(DISTINCT {_SQL_FINGERPRINT}) AS BIGINT)  AS n_distinct_fp
+    FROM documents
+    """,
+    tags=("dedup", "extension"),
+)
+def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate audit: distinct raw text vs normalized
+    fingerprint (hash-groupBy dedup; partial aggregation map-side)."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_text"),
+        F.countDistinct(fingerprint("text")).alias("n_distinct_fp"),
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+')) AS ts
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.ts, b.ts))) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE len(list_intersect(a.ts, b.ts))
+                     / len(list_distinct(list_concat(a.ts, b.ts))) END AS jaccard
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ts, b.ts))
+          / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5
+    """,
+    tags=("dedup", "similarity", "extension"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over same-source pairs (blocked join).
+
+    Blocking on ``source`` keeps the pair space linear-ish — the
+    exact-verification stage that follows LSH candidate generation in
+    a production near-dup pipeline.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+        ).alias("ts"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    union_n = F.size(F.array_union(F.col("a.ts"), F.col("b.ts")))
+    inter_n = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    jac = F.when(union_n == 0, F.lit(0.0)).otherwise(inter_n / union_n)
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query("minhash_near_dups", oracle=None, tags=("dedup", "lsh", "extension"))
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (rows-only check:
+    signatures use Spark-side xxhash64). Accuracy is asserted against
+    exact Jaccard in tests/test_dedup.py."""
+    docs = load(spark, "documents", sf_dir)
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", k=5, num_hashes=64, bands=16, min_jaccard=0.4
+    )
+
+
+@query("simhash_fingerprints", oracle=None, tags=("dedup", "extension"))
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only check — Spark xxhash64)."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash64"))

@@ -1,0 +1,186 @@
+"""Event-stream queries over ``events`` — the batch faces of the
+Structured Streaming operators in ``streaming/`` (same logical plans;
+streaming equivalence is asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+
+def _dec6(c) -> "F.Column":
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,6)")
+
+
+@query(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("events", "window-agg", "extension"),
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows × event type.
+
+    Batch face of the streaming tumbling-window aggregate; the value
+    sum goes through DECIMAL so it is partition-order-independent.
+    """
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec6("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@query(
+    "events_sliding_1h_30m",
+    oracle="""
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+        FROM events
+    )
+    GROUP BY window_start
+    """,
+    tags=("events", "window-agg", "extension"),
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands
+    in two windows. The oracle expands the two memberships as a
+    UNION ALL of shifted 30-minute buckets — identical semantics."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec6("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL THEN 1
+                    WHEN date_diff('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) > 1800 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gapped
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(MAX(sess_n) AS BIGINT) AS longest_session
+    FROM (
+        SELECT user_id, session_id, COUNT(*) AS sess_n
+        FROM sessions GROUP BY user_id, session_id
+    )
+    GROUP BY user_id
+    """,
+    tags=("events", "sessionization", "extension"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag → gap flag →
+    running-sum session ids → per-session sizes → per-user stats.
+    Batch analog of streaming ``session_window``; two window shuffles
+    on user_id then a group-by — all on the same key, so Spark reuses
+    the partitioning (single exchange)."""
+    ev = load(spark, "events", sf_dir)
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_order)
+    new_session = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_session).over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("sess_n")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("sess_n").alias("longest_session"),
+    )
+
+
+@query(
+    "event_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json", "reference-parity"),
+)
+def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 JSON path extraction (the reference parses API JSON docs,
+    src/ingestion.py:45-79) — regexp-based here so both engines share
+    the exact extraction semantics, aggregated per event type."""
+    ev = load(spark, "events", sf_dir)
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "events_dedup_rerun",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_after_dedup,
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_original
+    FROM (SELECT DISTINCT event_id FROM (
+        SELECT event_id FROM events UNION ALL SELECT event_id FROM events
+    ))
+    """,
+    tags=("events", "dedup", "reference-parity"),
+)
+def events_dedup_rerun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once re-run semantics: ingesting the same batch twice
+    then deduplicating by event id restores the original count (batch
+    analog of ``dropDuplicatesWithinWatermark``)."""
+    ev = load(spark, "events", sf_dir).select("event_id")
+    doubled = ev.unionAll(ev)
+    return doubled.dropDuplicates(["event_id"]).agg(
+        F.count(F.lit(1)).alias("n_after_dedup")
+    ).crossJoin(ev.agg(F.count(F.lit(1)).alias("n_original")))

@@ -1,0 +1,171 @@
+"""Similarity-search queries over ``embeddings`` (ANN extension).
+
+Brute-force cosine top-k is the exactness baseline (oracle-checked,
+scores rounded to 4 dp to absorb engine-internal summation-order
+ulps); the LSH-bucketed variant is the 100 TB scale path (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.vectors import cosine, l2_distance, norm
+from .registry import query
+
+_N_QUERIES = 3
+_TOP_K = 5
+
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         scored AS (
+        SELECT q.qid, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS score
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, score
+    FROM (
+        SELECT qid, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "extension"),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against
+    the corpus, score JVM-side (zip_with/aggregate — no Python), rank
+    per query. One broadcast join + one small window shuffle.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "neighbor_id", "score")
+    )
+
+
+@query(
+    "l2_nearest",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         scored AS (
+        SELECT q.qid, e.vec_id AS neighbor_id,
+               round(list_distance(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS dist
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, dist
+    FROM (
+        SELECT qid, neighbor_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "extension"),
+)
+def l2_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean nearest neighbors, same broadcast+rank shape."""
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(l2_distance(F.col("qv"), F.col("embedding")), 4).alias("dist"),
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "neighbor_id", "dist")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x)))
+                         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "agg", "extension"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean L2 norm. Per-row norms go through DECIMAL(18,6)
+    before the cross-row sum so the group aggregate is exact and
+    partitioning-independent."""
+    emb = load(spark, "embeddings", sf_dir)
+    cnt = F.count(F.lit(1))
+    return emb.groupBy("label").agg(
+        cnt.alias("n"),
+        (F.sum(norm("embedding").cast("decimal(18,6)")).cast("double") / cnt).alias(
+            "avg_norm"
+        ),
+    )
+
+
+@query("lsh_bucketed_ann", oracle=None, tags=("similarity", "lsh", "extension"))
+def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: random-hyperplane LSH bucketing.
+
+    Vectors hash into 2^8 sign-pattern buckets (8 fixed pseudo-random
+    hyperplanes derived from xxhash64 of (dim index, plane index));
+    candidate pairs only form within a bucket, turning the O(n^2)
+    scan into bucket-local joins — at 100 TB the buckets shard across
+    executors. Returns (bucket, n_vectors) bucket occupancy;
+    pair-generation quality is tested in tests/test_similarity.py.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    planes = 8
+    # deterministic pseudo-random hyperplane component for (i, p):
+    # ((xxhash64(i*planes+p) % 1000) / 500 - 1)  in [-1, 1)
+    sign_bits = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda x, i: x.cast("double")
+                * (
+                    (F.pmod(F.xxhash64(i * F.lit(planes) + F.lit(p)), F.lit(1000)))
+                    .cast("double")
+                    / F.lit(500.0)
+                    - F.lit(1.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sign_bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = sign_bits[0]
+    for b in sign_bits[1:]:
+        bucket = bucket + b
+    return (
+        emb.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

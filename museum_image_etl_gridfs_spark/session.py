@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the same settings are what we would
+ship on a real cluster (AQE, UTC session time, Arrow transfers).
+Scale posture:
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy switching — this is what keeps
+  a plan tuned at sf0.01 valid at 100 TB.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound;
+  on a big cluster you would raise it (~2-3× total cores) and let AQE
+  coalesce down.
+- Session timezone pinned to UTC: the reference is explicitly
+  tz-aware UTC (``src/ingestion.py:6,82``), and the DuckDB oracle
+  compares naive-UTC timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "museum_image_etl_gridfs_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Env overrides: ``SPARK_GRAFT_CPUS`` sets local parallelism,
+    ``SPARK_GRAFT_MASTER`` the master URL.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

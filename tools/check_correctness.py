@@ -1,0 +1,134 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle on the
+same parquet tables, then compares row count, normalized schema, and
+an order-insensitive value hash. Strictly harsher than necessary is
+fine — if this passes, the driver's comparison should too.
+
+Usage:
+    python tools/check_correctness.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from museum_image_etl_gridfs_spark.catalog import TABLES
+from museum_image_etl_gridfs_spark.plans import all_queries
+from museum_image_etl_gridfs_spark.session import get_spark
+
+
+def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes/values, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for c in df.columns:
+        h.update(c.encode())
+        for v in df[c].tolist():
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NA:
+                h.update(b"\x00null")
+            elif isinstance(v, float):
+                h.update(f"{v:.10g}".encode())
+            else:
+                h.update(str(v).encode())
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("names", nargs="*", help="subset of query names")
+    args = ap.parse_args()
+
+    spark = get_spark("correctness-check")
+    con = duck_connection(args.sf_dir)
+    qs = all_queries()
+    names = args.names or sorted(qs)
+    failures, results = [], {}
+
+    for name in names:
+        q = qs[name]
+        t0 = time.time()
+        try:
+            sdf = q.build(spark, args.sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            results[name] = {"status": "SPARK_ERROR", "error": str(e)[:500]}
+            print(f"[FAIL-spark] {name}: {str(e)[:300]}")
+            continue
+        if q.oracle is None:
+            results[name] = {"status": "ROWS_ONLY", "rows": len(sdf), "sec": round(time.time() - t0, 2)}
+            print(f"[rows-only] {name}: {len(sdf)} rows")
+            continue
+        try:
+            odf = con.execute(q.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            results[name] = {"status": "ORACLE_ERROR", "error": str(e)[:500]}
+            print(f"[FAIL-oracle] {name}: {str(e)[:300]}")
+            continue
+        try:
+            s_n, o_n = normalize(sdf), normalize(odf)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            results[name] = {"status": "NORMALIZE_ERROR", "error": str(e)[:500]}
+            print(f"[FAIL-norm] {name}: {str(e)[:300]}")
+            continue
+        status = "OK"
+        if list(s_n.columns) != list(o_n.columns):
+            status = f"SCHEMA_MISMATCH spark={list(s_n.columns)} oracle={list(o_n.columns)}"
+        elif len(s_n) != len(o_n):
+            status = f"ROWCOUNT_MISMATCH spark={len(s_n)} oracle={len(o_n)}"
+        elif value_hash(s_n) != value_hash(o_n):
+            status = "HASH_MISMATCH"
+            diff = s_n.compare(o_n) if s_n.shape == o_n.shape else None
+            if diff is not None and not diff.empty:
+                print(diff.head(10))
+        results[name] = {"status": status, "rows": len(s_n), "sec": round(time.time() - t0, 2)}
+        if status != "OK":
+            failures.append(name)
+            print(f"[FAIL] {name}: {status}")
+        else:
+            print(f"[ok] {name}: {len(s_n)} rows in {results[name]['sec']}s")
+
+    print(json.dumps({"total": len(names), "failed": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
