@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is timed to full materialization (count of an already-
+projected result — the driver-visible work) after a shared session
+warm-up so JVM/codegen startup is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from museum_image_etl_gridfs_spark.plans import all_queries
+from museum_image_etl_gridfs_spark.session import get_spark
+
+#: headline set: one per workload family (scan-agg, multiway join,
+#: window, dedup-pipeline, text, vectors, events, near-dup sketch)
+HEADLINE = (
+    "pricing_summary",
+    "flagship_dup_groups",
+    "revenue_by_nation",
+    "museum_pipeline",
+    "running_customer_spend",
+    "text_stats",
+    "cosine_topk",
+    "events_tumbling_1h",
+    "user_sessions",
+    "minhash_near_dups",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # warm-up: touch every table once so OS page cache / parquet
+    # footer reads don't skew the first query
+    from museum_image_etl_gridfs_spark.catalog import TABLES, load
+
+    for t in TABLES:
+        try:
+            load(spark, t, sf_dir).count()
+        except Exception:  # noqa: BLE001 - missing optional table
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name].build(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

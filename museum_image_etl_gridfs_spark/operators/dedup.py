@@ -98,44 +98,56 @@ def _rand_coeffs(n: int, seed: int) -> list[tuple[int, int]]:
     return coeffs
 
 
-def shingles(text_col, k: int = 5) -> "F.Column":
-    """Character k-shingle set of normalized text, as array<string>.
+def shingles(text_col, k: int = 3) -> "F.Column":
+    """Word k-shingle set of normalized text, as array<string>.
 
-    Whitespace-collapsed lowercase, sliding window of k chars —
-    standard MinHash preprocessing (Broder '97). JVM-side via
-    sequence + transform; no UDF.
+    Whitespace-split lowercase tokens, sliding window of k words
+    (Broder '97 used word shingles). Word shingles keep the set size
+    ~n_tokens (vs ~n_chars for char shingles), which matters because
+    higher-order array expressions are interpreted, not codegen'd.
     """
-    t = F.regexp_replace(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+", " ")
-    n = F.length(t)
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+", " "),
+        " ",
+    )
+    n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
-        F.when(n < k, F.array(t)).otherwise(
-            F.transform(idx, lambda i: t.substr(i, F.lit(k)))
+        F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
         )
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42) -> "F.Column":
-    """MinHash signature array<long> of length ``num_hashes``.
+def shingle_hashes(shingle_col) -> "F.Column":
+    """xxhash64 of each shingle, reduced mod the Mersenne prime.
 
-    Each hash_i = min over shingles of (a_i * xxhash64(s) + b_i) mod p
-    — all higher-order expressions, evaluated JVM-side per row; no
-    shuffle, no UDF. (MinHashLSH in MLlib needs vector input; this
-    keeps us in plain DataFrame land.)
+    Materialize this ONCE as its own column before fanning out to the
+    per-permutation mins — otherwise each of the ``num_hashes``
+    expressions re-hashes every shingle (a 64× blowup that Catalyst's
+    CollapseProject is prevented from reintroducing because the
+    reference is non-cheap).
+    """
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_signature(hash_col, num_hashes: int = 64, seed: int = 42) -> "F.Column":
+    """MinHash signature array<long> over pre-hashed shingles.
+
+    sig_i = min over shingles of (a_i * h + b_i) mod p — cheap affine
+    passes over an already-hashed long array; a*h+b stays < 2^62 so
+    ANSI int64 arithmetic cannot overflow.
     """
     coeffs = _rand_coeffs(num_hashes, seed)
 
-    def hash_fn(a: int, b: int):
+    def affine(a: int, b: int):
         # factory so the Column lambda keeps a 1-arg signature
         # (PySpark maps lambda arity onto HOF arity)
-        return lambda s: (
-            F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) + F.lit(b)
-        ) % F.lit(_MERSENNE)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)
 
-    hashes = [
-        F.array_min(F.transform(shingle_col, hash_fn(a, b))) for a, b in coeffs
-    ]
-    return F.array(*hashes)
+    return F.array(
+        *[F.array_min(F.transform(hash_col, affine(a, b))) for a, b in coeffs]
+    )
 
 
 def minhash_near_duplicates(
@@ -165,7 +177,10 @@ def minhash_near_duplicates(
 
     sigs = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), k), num_hashes, seed).alias("sig"),
+        shingle_hashes(shingles(F.col(text_col), k)).alias("sh"),
+    ).select(
+        "id",
+        minhash_signature(F.col("sh"), num_hashes, seed).alias("sig"),
     )
 
     banded = sigs.select(
