@@ -1,0 +1,168 @@
+"""Dedup operators — exact, keep-first, MinHash/LSH, SimHash.
+
+Covers SURVEY.md A1-A3 (reference parity) and the training-data
+near-dup extensions. MinHash accuracy is asserted against exact
+Jaccard on crafted documents (FIXTURES.md model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from museum_image_etl_gridfs_spark.operators.dedup import (
+    dedup_keep_first,
+    duplicate_groups,
+    exact_dedup,
+    hamming64,
+    minhash_near_duplicates,
+    ngram_jaccard,
+    shingle_hashes,
+    shingles,
+    simhash,
+)
+
+
+def _meta(spark):
+    rows = [
+        # (doc_id, object_id, created_at) — object 10 has 3 copies
+        ("a", 10, "2024-01-03"),
+        ("b", 10, "2024-01-01"),
+        ("c", 10, "2024-01-02"),
+        ("d", 20, "2024-01-01"),
+        ("e", 30, "2024-01-05"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, object_id int, created_at string"
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+
+
+def test_duplicate_groups(spark):
+    got = {
+        r["object_id"]: r["dup_count"]
+        for r in duplicate_groups(_meta(spark), ["object_id"]).collect()
+    }
+    assert got == {10: 3}
+
+
+def test_dedup_keep_first_deterministic(spark):
+    out = dedup_keep_first(_meta(spark), ["object_id"], ["created_at", "doc_id"])
+    got = {r["object_id"]: r["doc_id"] for r in out.collect()}
+    # survivor = earliest created_at per group
+    assert got == {10: "b", 20: "d", 30: "e"}
+    # idempotent: dedup of deduped is identity
+    again = dedup_keep_first(out, ["object_id"], ["created_at", "doc_id"])
+    assert again.subtract(out).count() == 0 and out.subtract(again).count() == 0
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "k int, v string")
+    assert exact_dedup(df).count() == 2
+    assert exact_dedup(df, ["k"]).count() == 2
+
+
+def test_shingles_word_window(spark):
+    df = spark.createDataFrame([("the quick brown fox",)], "t string")
+    got = sorted(df.select(shingles(F.col("t"), k=2).alias("s")).collect()[0]["s"])
+    assert got == ["brown fox", "quick brown", "the quick"]
+
+
+def test_shingles_short_text_single_shingle(spark):
+    df = spark.createDataFrame([("hello",), ("",)], "t string")
+    rows = df.select(shingles(F.col("t"), k=3).alias("s")).collect()
+    assert rows[0]["s"] == ["hello"]
+    assert rows[1]["s"] == [""]
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement rate must approximate true Jaccard of the
+    shingle sets (within MinHash standard error ~1/sqrt(64) ≈ 0.125
+    at 64 hashes; we allow 3 sigma)."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("lazy", "sleepy")  # high overlap
+    far = "completely different text about spark engines and parquet files"
+    df = spark.createDataFrame(
+        [("base", base), ("near", near), ("far", far)], "doc_id string, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in minhash_near_duplicates(
+            df, "doc_id", "text", k=3, num_hashes=64, bands=16, min_jaccard=0.0
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in (
+            df.alias("a")
+            .join(df.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                ngram_jaccard(
+                    shingles(F.col("a.text"), 3), shingles(F.col("b.text"), 3)
+                ).alias("j"),
+            )
+        ).collect()
+    }
+    key = ("base", "near")
+    assert exact[key] >= 0.5  # sanity: the crafted pair is near-dup
+    assert abs(pairs[key] - exact[key]) < 0.375  # 3 * 1/sqrt(64)
+    # the far document must not surface as a candidate above 0.4
+    high = {k for k, v in pairs.items() if v >= 0.4}
+    assert high == {key}
+
+
+def test_minhash_identical_docs_score_1(spark):
+    df = spark.createDataFrame(
+        [("x", "same exact words here today"), ("y", "same exact words here today")],
+        "doc_id string, text string",
+    )
+    rows = minhash_near_duplicates(
+        df, "doc_id", "text", k=2, num_hashes=32, bands=8, min_jaccard=0.9
+    ).collect()
+    assert len(rows) == 1 and rows[0]["jaccard_est"] == 1.0
+
+
+def test_shingle_hashes_in_range(spark):
+    df = spark.createDataFrame([("alpha beta gamma delta",)], "t string")
+    hs = df.select(
+        shingle_hashes(shingles(F.col("t"), 2)).alias("h")
+    ).collect()[0]["h"]
+    assert all(0 <= h < (1 << 31) - 1 for h in hs)
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog"),
+            ("b", "the quick brown fox jumps over the lazy dog"),
+            ("c", "the quick brown fox jumps over the sleepy dog"),
+            ("d", "entirely unrelated content regarding database engines"),
+        ],
+        "id string, text string",
+    )
+    sigs = df.select("id", simhash(F.col("text")).alias("sh"))
+    wide = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            hamming64(F.col("x.sh"), F.col("y.sh")).alias("d"),
+        )
+    )
+    dist = {(r["a"], r["b"]): r["d"] for r in wide.collect()}
+    assert dist[("a", "b")] == 0  # identical text -> identical simhash
+    assert dist[("a", "c")] < dist[("a", "d")]  # near < far
+
+
+def test_ngram_jaccard_edges(spark):
+    df = spark.createDataFrame([(["a", "b"], ["a", "b"], [], ["c"])],
+                               "x array<string>, y array<string>, e array<string>, z array<string>")
+    row = df.select(
+        ngram_jaccard(F.col("x"), F.col("y")).alias("same"),
+        ngram_jaccard(F.col("e"), F.col("e")).alias("both_empty"),
+        ngram_jaccard(F.col("x"), F.col("z")).alias("disjoint"),
+    ).collect()[0]
+    assert row["same"] == 1.0
+    assert row["both_empty"] == 0.0
+    assert row["disjoint"] == 0.0
