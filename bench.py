@@ -52,6 +52,20 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - missing optional table
             pass
 
+    # prime one Python worker per core (pandas/numpy import is ~1 s
+    # per process; paying it inside a timed query would measure
+    # interpreter startup, not engine throughput)
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(n_cores).repartition(n_cores).mapInPandas(
+        _warm, "id long"
+    ).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name].build(spark, sf_dir)

@@ -150,6 +150,65 @@ def minhash_signature(hash_col, num_hashes: int = 64, seed: int = 42) -> "F.Colu
     )
 
 
+def _minhash_band_rows(
+    id_field, k: int, num_hashes: int, bands: int, seed: int
+):
+    """mapInPandas worker: (id, text) batches -> one row per (doc,
+    band): (id, sig array<long>, band, band_hash).
+
+    Vectorized numpy per document: shingle the token list, crc32 each
+    shingle (deterministic across workers/runs, unlike PYTHONHASHSEED
+    hashing), then all ``num_hashes`` affine mins in ONE numpy
+    broadcast — a ~50-100x constant-factor win over evaluating the
+    same arithmetic as interpreted Catalyst higher-order functions,
+    and with none of their janino codegen cost on first run.
+    """
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    coeffs = _rand_coeffs(num_hashes, seed)
+    a = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
+    b = np.array([c[1] for c in coeffs], dtype=np.uint64)[:, None]
+    p = np.uint64(_MERSENNE)
+    rpb = num_hashes // bands
+
+    def fn(batches):
+        for pdf in batches:
+            ids, sigs, band_ids, band_hashes = [], [], [], []
+            for doc_id, text in zip(pdf["id"], pdf["text"]):
+                toks = (text or "").lower().split()
+                if len(toks) < k:
+                    sh = {" ".join(toks)}
+                else:
+                    sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                h = np.fromiter(
+                    (zlib.crc32(s.encode("utf-8")) for s in sh),
+                    dtype=np.uint64,
+                    count=len(sh),
+                )
+                # a*h+b < 2^62: exact in uint64, no overflow wrap
+                sig = ((a * h[None, :] + b) % p).min(axis=1).astype(np.int64)
+                sig_list = sig.tolist()
+                for band in range(bands):
+                    ids.append(doc_id)
+                    sigs.append(sig_list)
+                    band_ids.append(band)
+                    band_hashes.append(
+                        zlib.crc32(sig[band * rpb : (band + 1) * rpb].tobytes())
+                    )
+            yield pd.DataFrame(
+                {"id": ids, "sig": sigs, "band": band_ids, "band_hash": band_hashes}
+            )
+
+    schema = (
+        f"id {id_field.dataType.simpleString()}, sig array<long>, "
+        "band int, band_hash long"
+    )
+    return fn, schema
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -160,80 +219,77 @@ def minhash_near_duplicates(
     bands: int = 16,
     seed: int = 42,
     min_jaccard: float = 0.5,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    Pipeline: shingle -> signature -> split into ``bands`` bands ->
-    explode (id, band_idx, band_hash) -> self-join on the band bucket
-    -> estimate Jaccard from full signatures -> filter. Returns
-    (id_a, id_b, jaccard_est) with id_a < id_b.
+    Pipeline: shingle -> signature -> band hashes (one Arrow-batched
+    mapInPandas stage, see :func:`_minhash_band_rows`) -> groupBy the
+    band bucket -> bucket-local pair generation -> Jaccard estimate
+    from full signatures -> filter. Returns (id_a, id_b, jaccard_est)
+    with id_a < id_b.
 
-    Scale: the only shuffle is the bucket self-join; candidate pairs
-    are band-local so cost tracks true-duplicate density, not n^2.
+    Scale: the only shuffles are an up-front spread of the input and
+    the bucket groupBy; candidate pairs are band-local so cost tracks
+    true-duplicate density, not n^2.
+
+    The explicit ``repartition`` exists because sketching is
+    CPU-bound, not IO-bound: parallelism must track cores, not input
+    bytes. A small input (one parquet row group) otherwise runs the
+    whole sketch computation on a single core — and AQE won't help,
+    since it coalesces by byte size. At 100 TB the scan's own splits
+    provide the parallelism and this repartition is a cheap shuffle
+    of (id, text).
     """
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
 
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(shingles(F.col(text_col), k)).alias("sh"),
-    ).select(
-        "id",
-        minhash_signature(F.col("sh"), num_hashes, seed).alias("sig"),
+    src = df.repartition(num_partitions, F.col(id_col)).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    fn, schema = _minhash_band_rows(
+        src.schema["id"], k, num_hashes, bands, seed
+    )
+    banded = src.mapInPandas(fn, schema)
+
+    # Bucket-local pair generation: one groupBy instead of a self-join,
+    # so the signature stage above is evaluated ONCE (a self-join
+    # would recompute it for each side). Only buckets with >1 member
+    # survive the filter — a tiny fraction of rows — so the pairwise
+    # expansion runs over candidate-dense data only.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
 
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    id_type = banded.schema["id"].dataType.simpleString()
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    def pair_fn(batches):
+        import numpy as np
+        import pandas as pd
 
-    jaccard = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-            )
-        )
-        / F.lit(num_hashes)
-    ).alias("jaccard_est")
-    return (
-        pairs.select("id_a", "id_b", jaccard)
-        .filter(F.col("jaccard_est") >= min_jaccard)
+        for pdf in batches:
+            id_a, id_b, est = [], [], []
+            for ms in pdf["ms"]:
+                members = sorted(ms, key=lambda m: m["id"])
+                sig_mat = np.array([np.asarray(m["sig"]) for m in members])
+                for i in range(len(members)):
+                    eq = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
+                    for j, e in enumerate(eq, start=i + 1):
+                        if e >= min_jaccard:
+                            id_a.append(members[i]["id"])
+                            id_b.append(members[j]["id"])
+                            est.append(float(e))
+            yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "jaccard_est": est})
+
+    pairs = buckets.mapInPandas(
+        pair_fn, f"id_a {id_type}, id_b {id_type}, jaccard_est double"
     )
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def simhash(text_col, bits: int = 64) -> "F.Column":

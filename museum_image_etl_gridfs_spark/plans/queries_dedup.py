@@ -105,6 +105,13 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("simhash_fingerprints", oracle=None, tags=("dedup", "extension"))
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only check — Spark xxhash64)."""
+    """64-bit SimHash per document (rows-only check — Spark xxhash64).
+
+    Repartitioned to core count first: the 64 per-bit aggregates are
+    CPU-bound interpreted HOFs, so parallelism must track cores, not
+    input bytes (same reasoning as minhash_near_duplicates)."""
     docs = load(spark, "documents", sf_dir)
-    return docs.select("doc_id", simhash(F.col("text")).alias("simhash64"))
+    n = spark.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id").select(
+        "doc_id", simhash(F.col("text")).alias("simhash64")
+    )

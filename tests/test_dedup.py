@@ -78,7 +78,11 @@ def test_minhash_estimates_jaccard(spark):
     shingle sets (within MinHash standard error ~1/sqrt(64) ≈ 0.125
     at 64 hashes; we allow 3 sigma)."""
     base = "the quick brown fox jumps over the lazy dog " * 4
-    near = base.replace("lazy", "sleepy")  # high overlap
+    # change only the LAST occurrence: Jaccard stays high (~0.8), so
+    # the 16-band/4-row LSH finds the pair with probability ~1-1e-4
+    # (at j=0.5 detection would be a coin flip — not testable)
+    i = base.rfind("lazy")
+    near = base[:i] + "sleepy" + base[i + len("lazy"):]
     far = "completely different text about spark engines and parquet files"
     df = spark.createDataFrame(
         [("base", base), ("near", near), ("far", far)], "doc_id string, text string"
