@@ -165,6 +165,105 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tumbling_1h",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "window-agg", "extension"),
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregate, drained with an
+    ``availableNow`` trigger — same oracle as the batch twin because
+    the trigger guarantees batch equivalence (asserted in
+    tests/test_streaming.py). Watermarked: closed-window state is
+    dropped, so memory stays bounded on an unbounded stream."""
+    import uuid
+
+    from ..streaming import events_stream, run_to_memory, stream_tumbling_counts
+
+    return run_to_memory(
+        stream_tumbling_counts(events_stream(spark, sf_dir)),
+        f"q_tumbling_{uuid.uuid4().hex[:8]}",
+    )
+
+
+@query(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "extension"),
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user lifetime totals. With one availableNow batch the emitted
+    state equals the batch group-by — hash-checked against the oracle.
+    The decimal cast mirrors the oracle's exact summation so doubles
+    match bit-for-bit."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming import events_stream, run_to_memory
+
+    ev = events_stream(spark, sf_dir)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, "0")
+        from decimal import Decimal
+
+        total = Decimal(total)
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value"]:
+                total += Decimal(str(v)).quantize(Decimal("0.000001"))
+        state.update((n, str(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [float(total)],
+            }
+        )
+
+    totals = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(
+        totals, f"q_totals_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    # update-mode emits one row per user per micro-batch; keep the last
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    )
+    return (
+        out.withColumn("__rn", w)
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@query(
     "events_dedup_rerun",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_after_dedup,

@@ -1,0 +1,107 @@
+"""Structured Streaming operators — availableNow batch equivalence.
+
+Each streaming operator drained with trigger(availableNow=True) must
+produce exactly the rows of its batch twin over the same parquet
+(SURVEY.md §7: streaming extension contract).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from museum_image_etl_gridfs_spark.catalog import load
+from museum_image_etl_gridfs_spark.plans import all_queries
+from museum_image_etl_gridfs_spark.streaming import (
+    events_stream,
+    run_to_memory,
+    stream_dedup_within_watermark,
+    stream_session_windows,
+    stream_sliding_counts,
+    stream_tumbling_counts,
+    stream_user_running_totals,
+)
+
+QUERIES = all_queries()
+
+
+def _assert_same(a, b):
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    assert a.count() == b.count()  # rule out duplicate-row asymmetry
+
+
+def test_tumbling_matches_batch(spark, sf_dir):
+    got = run_to_memory(
+        stream_tumbling_counts(events_stream(spark, sf_dir)), "t_tumbling"
+    )
+    want = QUERIES["events_tumbling_1h"].build(spark, sf_dir)
+    _assert_same(got, want)
+
+
+def test_sliding_matches_batch(spark, sf_dir):
+    got = run_to_memory(
+        stream_sliding_counts(events_stream(spark, sf_dir)), "t_sliding"
+    )
+    want = QUERIES["events_sliding_1h_30m"].build(spark, sf_dir)
+    _assert_same(got, want)
+
+
+def test_session_windows_match_batch_sessionization(spark, sf_dir):
+    """session_window(gap=30m) must find the same per-user session
+    count as the batch lag/running-sum sessionization."""
+    got = run_to_memory(
+        stream_session_windows(events_stream(spark, sf_dir)), "t_sessions"
+    )
+    stream_counts = got.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    batch_counts = (
+        QUERIES["user_sessions"]
+        .build(spark, sf_dir)
+        .select("user_id", "n_sessions")
+    )
+    _assert_same(stream_counts, batch_counts)
+    # per-session event counts must also agree with the longest-run
+    longest = got.groupBy("user_id").agg(F.max("n_events").alias("longest_session"))
+    batch_longest = (
+        QUERIES["user_sessions"].build(spark, sf_dir).select("user_id", "longest_session")
+    )
+    _assert_same(longest, batch_longest)
+
+
+def test_dedup_within_watermark(spark, sf_dir):
+    got = run_to_memory(
+        stream_dedup_within_watermark(events_stream(spark, sf_dir)),
+        "t_dedup",
+        output_mode="append",
+    )
+    n_raw = load(spark, "events", sf_dir).count()
+    assert got.count() == n_raw  # fixture ids are unique
+    assert got.select("event_id").distinct().count() == n_raw
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    got = run_to_memory(
+        stream_user_running_totals(events_stream(spark, sf_dir)),
+        "t_state",
+        output_mode="update",
+    )
+    # with availableNow over one source, the last emitted row per user
+    # is the lifetime total — compare against the batch aggregate
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = (
+        load(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _assert_same(final, want)
+
+
+def test_watermark_present_in_plan(spark, sf_dir):
+    """The aggregations must carry a watermark (state cleanup at
+    scale); a missing watermark would silently accumulate state."""
+    s = stream_tumbling_counts(events_stream(spark, sf_dir))
+    assert "watermark" in s._jdf.queryExecution().analyzed().toString().lower()
