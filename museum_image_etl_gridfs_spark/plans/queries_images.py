@@ -1,0 +1,73 @@
+"""Multimodal-column queries (C6 + training-pipeline extension).
+
+The fixtures carry no real blobs, so images are synthesized
+deterministically from ``doc_id`` (operators.images.synthesize_images)
+and pushed through the REAL Spark plumbing: binary column -> Arrow
+batch -> decode -> numpy resize -> re-encode -> typed metadata. The
+oracle states the arithmetic consequences (dims, byte lengths,
+statuses), so the whole decode-transform-encode path is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.images import (
+    RawCodec,
+    decoded_length,
+    image_features,
+    synthesize_images,
+    transform_images,
+)
+from .registry import query
+
+_SRC_W, _SRC_H = 32, 24
+_DST_W, _DST_H = 16, 12
+_HEADER = 12  # RAW0 header bytes
+
+
+@query(
+    "multimodal_transform",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_SRC_W * _SRC_H * 3} AS BIGINT)          AS src_pixels,
+           CAST({_DST_W * _DST_H * 3 + _HEADER} AS BIGINT) AS out_len,
+           {_DST_W} AS out_w, {_DST_H} AS out_h,
+           'ok' AS status
+    FROM documents
+    """,
+    tags=("multimodal", "binary", "extension"),
+)
+def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image ETL slice: synthesize -> decode -> resize -> encode ->
+    feature-extract, all distributed, no shuffle (C6 at scale).
+
+    ``src_pixels`` is read JVM-side from the typed header
+    (decoded_length — no Python decode for planning-level metadata);
+    ``out_w``/``out_h`` come from re-decoding the transformed blob,
+    proving the resize actually happened.
+    """
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = spark.sparkContext.defaultParallelism
+    imgs = synthesize_images(
+        docs.repartition(n, "doc_id"), "doc_id", width=_SRC_W, height=_SRC_H
+    )
+    transformed = transform_images(imgs, "image", size=(_DST_W, _DST_H), codec=RawCodec)
+    feats = image_features(
+        transformed.select(
+            "doc_id",
+            F.col("image_transformed").alias("image"),
+            F.col("image_transformed_status").alias("status"),
+            decoded_length("image").alias("src_pixels"),
+        )
+    )
+    return feats.select(
+        "doc_id",
+        "src_pixels",
+        (F.length("image")).cast("long").alias("out_len"),
+        F.col("width").alias("out_w"),
+        F.col("height").alias("out_h"),
+        "status",
+    )

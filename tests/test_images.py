@@ -1,0 +1,95 @@
+"""Multimodal image pipeline (C6): codec, transform, features.
+
+The container has no PIL, so the RawCodec path is the tested one —
+its resize is real numpy resampling, so the Spark plumbing (binary
+schema, Arrow batches, quarantine rows) is genuinely exercised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from museum_image_etl_gridfs_spark.operators.images import (
+    PILCodec,
+    RawCodec,
+    decoded_length,
+    image_features,
+    synthesize_images,
+    transform_images,
+)
+
+
+def test_rawcodec_roundtrip():
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = RawCodec.encode(arr)
+    assert np.array_equal(RawCodec.decode(blob), arr)
+
+
+def test_rawcodec_resize_identity_and_downsample():
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(RawCodec.resize(arr, (4, 4)), arr)
+    half = RawCodec.resize(arr, (2, 2))
+    assert half.shape == (2, 2, 3)
+    assert np.array_equal(half[0, 0], arr[0, 0])  # nearest-neighbor
+
+
+def test_synthesize_deterministic(spark):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    a = {r["k"]: bytes(r["image"]) for r in synthesize_images(df, "k").collect()}
+    b = {r["k"]: bytes(r["image"]) for r in synthesize_images(df, "k").collect()}
+    assert a == b
+    assert len(set(a.values())) == 3  # distinct keys -> distinct images
+
+
+def test_transform_resizes_to_224(spark):
+    df = synthesize_images(spark.range(4).select(F.col("id").alias("k")), "k")
+    out = transform_images(df, "image", size=(224, 224)).collect()
+    for r in out:
+        assert r["image_transformed_status"] == "ok"
+        arr = RawCodec.decode(bytes(r["image_transformed"]))
+        assert arr.shape == (224, 224, 3)
+
+
+def test_transform_quarantines_bad_blobs(spark):
+    good = RawCodec.encode(np.zeros((2, 2, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, good), (2, b"not an image")], "k long, image binary"
+    )
+    rows = {r["k"]: r for r in transform_images(df, "image").collect()}
+    assert rows[1]["image_transformed_status"] == "ok"
+    assert rows[2]["image_transformed_status"].startswith("error:")
+    assert rows[2]["image_transformed"] is None
+
+
+def test_image_features(spark):
+    df = synthesize_images(
+        spark.range(2).select(F.col("id").alias("k")), "k", width=8, height=6
+    )
+    feats = image_features(df).collect()
+    for r in feats:
+        assert (r["width"], r["height"]) == (8, 6)
+        assert len(r["channel_means"]) == 3
+        arr = RawCodec.decode(bytes(r["image"]))
+        want = arr.mean(axis=(0, 1))
+        got = np.array(r["channel_means"])
+        assert np.allclose(got, want, atol=1e-4)
+
+
+def test_decoded_length_header_read(spark):
+    df = synthesize_images(
+        spark.range(3).select(F.col("id").alias("k")), "k", width=10, height=7
+    )
+    rows = df.select(decoded_length("image")).collect()
+    assert all(r["decoded_length"] == 10 * 7 * 3 for r in rows)
+
+
+def test_pil_codec_gated():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed in this env")
+    except ImportError:
+        with pytest.raises(ImportError, match="Pillow"):
+            PILCodec.decode(b"\xff\xd8")
