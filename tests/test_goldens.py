@@ -1,0 +1,23 @@
+"""Golden-output diffs (S10): 10-row samples of key stages must match
+the committed artifacts byte-for-byte — the engine's version of the
+reference's data_outputs/metadata_sample.json verification style."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tools.make_goldens import GOLDENS, OUT_DIR, SF_DIR, sample
+from museum_image_etl_gridfs_spark.plans import all_queries
+
+
+@pytest.mark.parametrize("name", sorted(GOLDENS))
+def test_golden_sample_matches(spark, name):
+    path = os.path.join(OUT_DIR, f"{name}_sample.json")
+    assert os.path.exists(path), "run tools/make_goldens.py"
+    with open(path) as f:
+        want = json.load(f)
+    got = sample(all_queries()[name].build(spark, SF_DIR), GOLDENS[name])
+    assert got == want
