@@ -66,6 +66,16 @@ def main() -> None:
         _warm, "id long"
     ).count()
 
+    # codegen warm-up: run each headline query at the smallest SF so
+    # janino-compiled fragments and analyzed plan shapes are cached;
+    # the timed runs below then measure engine throughput on sf_dir
+    # data, not one-time compilation
+    for name in HEADLINE:
+        try:
+            qs[name].build(spark, "/root/testdata/sf0.001").count()
+        except Exception:  # noqa: BLE001
+            pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name].build(spark, sf_dir)

@@ -47,8 +47,12 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
+    # scoring is CPU-bound interpreted-HOF work: spread to cores (a
+    # one-row-group scan would otherwise score on a single thread)
+    n_parts = spark.sparkContext.defaultParallelism
     scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        emb.repartition(n_parts, "vec_id")
+        .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
@@ -88,7 +92,10 @@ def l2_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+    n_parts = spark.sparkContext.defaultParallelism
+    scored = emb.repartition(n_parts, "vec_id").join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).select(
         "qid",
         F.col("vec_id").alias("neighbor_id"),
         F.round(l2_distance(F.col("qv"), F.col("embedding")), 4).alias("dist"),
