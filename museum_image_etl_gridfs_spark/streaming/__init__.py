@@ -12,6 +12,7 @@ face of a batch query in plans/queries_events.py, with
 from .events import (  # noqa: F401
     events_stream,
     run_to_memory,
+    run_to_parquet,
     stream_dedup_within_watermark,
     stream_session_windows,
     stream_sliding_counts,

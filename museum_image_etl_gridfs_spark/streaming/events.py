@@ -153,6 +153,29 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet(
+    stream: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> None:
+    """Drain a stream into a Parquet directory with a checkpoint —
+    the durable-sink form of :func:`run_to_memory`.
+
+    The checkpoint carries the source offsets, so re-running after a
+    crash (or when no new files arrived) writes NOTHING twice:
+    exactly-once file output, the property the reference approximates
+    with its transformed_gridfs_file_id skip marker
+    (src/transform_load.py:83-84). Asserted in tests/test_streaming.py.
+    """
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     stream: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

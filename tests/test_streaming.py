@@ -100,6 +100,28 @@ def test_stateful_running_totals(spark, sf_dir):
     _assert_same(final, want)
 
 
+def test_parquet_sink_exactly_once_on_rerun(spark, sf_dir):
+    """Checkpointed file sink: draining twice (second run sees no new
+    source files) must not duplicate output — the streaming form of
+    the reference's idempotent re-run marker (F3)."""
+    import shutil
+    import uuid
+
+    from museum_image_etl_gridfs_spark.streaming import run_to_parquet
+
+    base = f"/root/repo/.tmp_stream_{uuid.uuid4().hex[:8]}"
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    try:
+        n_src = load(spark, "events", sf_dir).count()
+        run_to_parquet(events_stream(spark, sf_dir), out, ckpt)
+        assert spark.read.parquet(out).count() == n_src
+        # second drain: offsets in the checkpoint say "nothing new"
+        run_to_parquet(events_stream(spark, sf_dir), out, ckpt)
+        assert spark.read.parquet(out).count() == n_src
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_watermark_present_in_plan(spark, sf_dir):
     """The aggregations must carry a watermark (state cleanup at
     scale); a missing watermark would silently accumulate state."""
