@@ -1,0 +1,120 @@
+"""Remaining training-data-pipeline operators from the north star:
+embedding-cosine near-dup pairs, BPE-ish regex tokenization, and
+rolling-hash document fingerprints — each exact-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.vectors import cosine
+from .registry import query
+
+_COS_THRESHOLD = 0.4
+
+#: word-ish / number / single-symbol pieces — the shape of a BPE
+#: pre-tokenizer's coarse split (identical regex both engines)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_ROLL_P = 2147483647  # 2^31-1: h*31+c stays < 2^36, exact in int64
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {_COS_THRESHOLD}
+    """,
+    tags=("dedup", "similarity", "extension"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the exact-verification
+    stage of embedding dedup (brute-force here as the correctness
+    baseline; the LSH-bucketed variant in queries_vector is the
+    recall-oriented 100 TB path that would feed candidate pairs into
+    exactly this scoring).
+
+    The pair space is blocked nothing at this cardinality; the corpus
+    is spread to cores before the O(n²/2) HOF scoring pass.
+    """
+    n = spark.sparkContext.defaultParallelism
+    emb = load(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    ).repartition(n, "vec_id")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= _COS_THRESHOLD
+    )
+
+
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(coalesce(text,''), '{_BPE_RE}')) AS INTEGER)
+               AS n_bpe_pieces,
+           CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER)
+               AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text", "tokenize", "extension"),
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex
+    pieces (letter runs / digit runs / single symbols — a byte-pair
+    pre-tokenizer's coarse segmentation). Both JVM regex expressions;
+    the piece count upper-bounds real BPE token counts, which is the
+    quantity data-mixing pipelines budget on."""
+    from ..functions.text import token_count
+
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")),
+                                    F.lit(_BPE_RE), 0)).alias("n_bpe_pieces"),
+        token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "rolling_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(7::BIGINT,
+                   list_transform(
+                       regexp_split_to_array(
+                           regexp_replace(lower(trim(coalesce(text,''))),
+                                          '\\s+', ' ', 'g'), ''),
+                       x -> unicode(x)::BIGINT)),
+               (h, c) -> (h * 31 + c) % {_ROLL_P}) AS fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint", "extension"),
+)
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (h = h*31 + c mod 2³¹-1)
+    over normalized text — the incremental-hash primitive behind
+    shingling/Rabin-Karp, computed as a JVM fold (F.aggregate) with
+    arithmetic identical to the DuckDB oracle's list_reduce."""
+    docs = load(spark, "documents", sf_dir)
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
+    )
+    chars = F.split(norm, "")
+    fp = F.aggregate(
+        chars,
+        F.lit(7).cast("long"),
+        lambda h, c: (h * 31 + F.ascii(c)) % F.lit(_ROLL_P),
+    )
+    n = spark.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id").select("doc_id", fp.alias("fp"))
