@@ -59,3 +59,24 @@ def test_unknown_column_raises(spark):
 def test_custom_sentinel(spark):
     df = na_standardize(_rows(spark, [None]), ["artist"], sentinel="??")
     assert df.collect()[0]["artist"] == "??"
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    values=st.lists(
+        st.one_of(st.none(), st.text(max_size=20)), min_size=1, max_size=20
+    )
+)
+def test_na_standardize_property(spark, values):
+    """Property: output == 'NA' exactly when input is NULL or '';
+    everything else passes through verbatim (three-way semantics)."""
+    got = [
+        r["artist"]
+        for r in na_standardize(_rows(spark, values), ["artist"]).sort("id").collect()
+    ]
+    want = [NA_SENTINEL if v is None or v == "" else v for v in values]
+    assert got == want
