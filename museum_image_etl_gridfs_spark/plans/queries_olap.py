@@ -113,6 +113,34 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=_Q6_SQL,
+    tags=("sql-api", "agg", "filter"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape through the SQL API end-to-end: the engine
+    registers its catalog as views and executes the EXACT oracle text
+    with spark.sql — proving a user of the reference could bring
+    plain ANSI SQL and run it unchanged. All four predicates push
+    into the Parquet scan."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
 @query(
     "monthly_revenue_trend",
     oracle="""
