@@ -1,0 +1,127 @@
+"""IVF-style approximate nearest neighbor (scale path for similarity
+search, alongside the LSH-bucketed variant in queries_vector).
+
+Classic inverted-file ANN: partition the corpus into Voronoi cells
+around K centroids, then search only the ``n_probe`` cells nearest
+the query. Recall/cost trades on n_probe; brute force is the
+n_probe=K degenerate case.
+
+Spark-first shape:
+- centroids are a deterministic sample (first K by id — the fixture
+  embeddings are i.i.d., so this is as good as kmeans++ seeding for
+  cell balance and keeps the operator fully deterministic/testable;
+  swap in MLlib KMeans fits for production skew);
+- cell assignment is a broadcast-nested-loop min over K centroids —
+  corpus never shuffles to assign;
+- a query probes its n_probe nearest cells; scoring happens only
+  inside probed cells (a broadcast semi-filter + the same JVM cosine
+  as the brute-force baseline).
+
+At 100 TB: the corpus is written PARTITIONED BY cell (partition
+pruning turns a probe into reading n_probe/K of the data); here the
+cell filter plays that role in-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def assign_cells(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Return (centroids, corpus-with-cell).
+
+    Centroids: the K lowest-id vectors. Cell = argmax cosine to a
+    centroid, computed via a broadcast join + per-row window min —
+    the corpus is touched once, no shuffle for assignment itself.
+    """
+    spark = emb.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    centroids = (
+        emb.orderBy(id_col)
+        .limit(k_cells)
+        .select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+    scored = (
+        emb.repartition(n, id_col)
+        .join(F.broadcast(centroids))
+        .select(
+            id_col,
+            vec_col,
+            "cell_id",
+            cosine(F.col(vec_col), F.col("centroid")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    k_cells: int = 16,
+    n_probe: int = 4,
+    top_k: int = 5,
+) -> DataFrame:
+    """Approximate cosine top-k: probe the ``n_probe`` cells nearest
+    each query, score only within them. Returns (qid, neighbor_id,
+    score) — same shape as the brute-force baseline so recall is
+    directly measurable (tests/test_ann.py).
+    """
+    centroids, assigned = assign_cells(
+        emb, id_col=id_col, vec_col=vec_col, k_cells=k_cells
+    )
+
+    q_cells = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            qid_col,
+            qvec_col,
+            "cell_id",
+            cosine(F.col(qvec_col), F.col("centroid")).alias("__sim"),
+        )
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.col("__sim").desc(), F.col("cell_id"))
+    probes = (
+        q_cells.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(qid_col, qvec_col, "cell_id")
+    )
+
+    # score only inside probed cells (the partition-pruning analog)
+    cand = assigned.join(
+        F.broadcast(probes), on="cell_id"
+    ).filter(F.col(id_col) != F.col(qid_col))
+    scored = cand.select(
+        qid_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("score"),
+    ).dropDuplicates([qid_col, "neighbor_id"])
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .select(qid_col, "neighbor_id", "score")
+    )

@@ -176,3 +176,19 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+@query("ivf_topk_ann", oracle=None, tags=("similarity", "ivf", "extension"))
+def ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the 4 nearest of 16 Voronoi cells per
+    query (rows-only check — approximate by design; exactness of the
+    full-probe degenerate case and partial-probe recall are asserted
+    in tests/test_ann.py). The 100 TB form writes the corpus
+    partitioned by cell so probing = partition pruning."""
+    from ..operators.ann import ivf_topk
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(emb, q, k_cells=16, n_probe=4, top_k=_TOP_K)
