@@ -177,3 +177,148 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("revenue"),
         F.sum("rev_dec").over(w).cast("double").alias("cumulative_revenue"),
     )
+
+
+@query(
+    "upsert_transform_markers",
+    oracle="""
+    SELECT t.o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN 'blob_' || CAST(t.o_orderkey AS VARCHAR)
+                ELSE t.marker END AS marker,
+           t.o_custkey
+    FROM (
+        SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR) AS marker
+        FROM orders
+    ) t
+    LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0) u
+      ON t.o_orderkey = u.o_orderkey
+    """,
+    tags=("upsert", "merge", "reference-parity"),
+)
+def upsert_transform_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 distributed form: the reference's per-row
+    ``update_one({$set: transformed_gridfs_file_id})`` write-back
+    (src/transform_load.py:113-119) as ONE keyed MERGE — a third of
+    the keys get their marker set, the rest keep NULL; one shuffle
+    instead of N round-trips."""
+    from ..operators.upsert import merge_upsert
+
+    orders = load(spark, "orders", sf_dir)
+    target = orders.select(
+        "o_orderkey", "o_custkey", F.lit(None).cast("string").alias("marker")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.concat(F.lit("blob_"), F.col("o_orderkey").cast("string")).alias("marker"),
+    )
+    merged = merge_upsert(target, updates, ["o_orderkey"])
+    return merged.select("o_orderkey", "marker", "o_custkey")
+
+
+@query(
+    "large_order_customers",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) big ON big.l_orderkey = o.o_orderkey
+    """,
+    tags=("subquery", "having", "join"),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold (IN-subquery with HAVING, de-correlated as an
+    aggregate-then-join — the aggregate shuffles once on orderkey and
+    its HAVING filter shrinks the join input before the shuffle
+    join)."""
+    li = load(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+    )
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    tags=("join", "agg", "histogram"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers-per-order-count histogram. The
+    LEFT join keeps zero-order customers (COUNT of the nullable side
+    counts only matches); two aggregations reuse the custkey
+    partitioning."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "supplier_rank_board",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           CAST(RANK()         OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK()   OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4)       OVER w AS BIGINT) AS quartile,
+           round(PERCENT_RANK() OVER w, 6)       AS pct_rank,
+           FIRST_VALUE(s_suppkey) OVER w         AS best_supp
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    tags=("window", "ranking"),
+)
+def supplier_rank_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth in one pass: rank / dense_rank / ntile
+    / percent_rank / first_value share a single window spec, so Spark
+    computes them in one sort within one shuffle."""
+    from pyspark.sql import Window
+
+    s = load(spark, "supplier", sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.first("s_suppkey").over(w).alias("best_supp"),
+    )
