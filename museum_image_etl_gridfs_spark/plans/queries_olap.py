@@ -322,3 +322,78 @@ def supplier_rank_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.first("s_suppkey").over(w).alias("best_supp"),
     )
+
+
+@query(
+    "price_quantity_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           round(stddev_samp(l_quantity), 6)                  AS sd_qty,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS cov_qty_price,
+           round(avg(l_tax), 6)                               AS avg_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("stats", "agg"),
+)
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / stddev / covar): both engines
+    use numerically-stable single-pass update formulas; rounding to
+    4-6 dp absorbs partial-merge-order ulps so the hash matches."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+    )
+
+
+@query(
+    "top_balances_per_nation",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(list(bal ORDER BY bal DESC, ck)[:3], ',') AS top_bals
+    FROM (
+        SELECT c_nationkey AS n_nationkey,
+               CAST(c_acctbal AS DOUBLE) AS bal, c_custkey AS ck,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    GROUP BY n_nationkey
+    """,
+    tags=("nested", "array", "agg"),
+)
+def top_balances_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array output (A2's $push generalized): per-nation
+    ordered array of the top-3 balances — window top-k then an
+    order-pinned collect (sort_array of (bal, key) structs, projected
+    back to the bal). Serialized to a CSV string for the compare:
+    the driver's value-hash normalization can't hash raw arrays."""
+    from pyspark.sql import Window
+
+    c = load(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    top3 = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("c_acctbal")).alias("neg"), F.col("c_custkey").alias("ck"),
+                    F.col("c_acctbal").cast("double").alias("bal"),
+                )
+            )
+        ),
+        lambda s: s["bal"],
+    )
+    return top3.groupBy(F.col("c_nationkey").alias("n_nationkey")).agg(
+        F.array_join(
+            F.transform(ordered, lambda b: b.cast("string")), ","
+        ).alias("top_bals")
+    )
