@@ -2,9 +2,11 @@
 
 Pure higher-order-function expressions (``aggregate``/``zip_with``)
 — JVM-evaluated, no Python boundary, no UDF pickling; at 100 TB this
-keeps similarity scans executor-local and codegen-adjacent. A
-vectorized Pandas-UDF path exists in ``operators/similarity.py`` for
-when batch BLAS beats per-element expression eval.
+keeps similarity scans executor-local and codegen-adjacent.
+CPU-bound callers repartition to cores first (see queries_vector);
+the sketch-class operators (operators/dedup.py minhash) show the
+vectorized-numpy alternative for when batch math beats per-element
+expression eval.
 """
 
 from __future__ import annotations
