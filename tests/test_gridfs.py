@@ -85,6 +85,31 @@ def test_reassemble_with_files_flags_length(spark):
     assert not joined_bad[0]["length_ok"]
 
 
+def test_default_255kb_chunks_with_megabyte_blobs(spark):
+    """Realistic layout: the GridFS default 261120-byte chunk size
+    against MB-scale blobs (the reference's raw images are 0.3-1 MB,
+    BASELINE.md) — chunk counts and round-trip must hold at real
+    sizes, not just toy ones."""
+    from museum_image_etl_gridfs_spark.operators.gridfs import GRIDFS_CHUNK_SIZE
+
+    import os as _os
+
+    sizes = [1_069_455, 314_791, GRIDFS_CHUNK_SIZE * 2]  # ref max/min + exact
+    blobs = [_os.urandom(n) for n in sizes]
+    df = _blobs_df(spark, blobs)
+    chunks = chunk_binary(df, "id", "blob", GRIDFS_CHUNK_SIZE)
+    counts = {
+        r["files_id"]: r["n"]
+        for r in chunks.groupBy("files_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 5, 1: 2, 2: 2}  # ceil(size / 255 KB)
+    rebuilt = {
+        r["files_id"]: bytes(r["data"])
+        for r in reassemble(chunks.repartition(7)).collect()
+    }
+    assert rebuilt == {i: b for i, b in enumerate(blobs)}
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     blobs=st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8),
