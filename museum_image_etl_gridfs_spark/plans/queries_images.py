@@ -71,3 +71,62 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("out_h"),
         "status",
     )
+
+
+@query(
+    "image_etl_gridfs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({224 * 224 * 3 + _HEADER} AS BIGINT) AS transformed_len,
+           CAST(1 AS BIGINT)                          AS n_chunks,
+           CAST(doc_id AS VARCHAR) || '_transformed.jpg' AS filename,
+           'ok' AS status
+    FROM documents
+    """,
+    tags=("multimodal", "gridfs", "pipeline", "reference-parity"),
+)
+def image_etl_gridfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's image stage end-to-end AT ITS REAL PARAMETERS:
+    resize to 224x224 (src/transform_load.py:97) and store via GridFS
+    chunking at the 255 KB default — every transformed image fits one
+    chunk, exactly as the reference's artifacts show
+    (fs_transformed_chunks_view.png: only n=0; BASELINE.md). One
+    distributed pass: synthesize -> decode -> resize -> encode ->
+    chunk -> descriptor join; the only shuffle is chunk reassembly's
+    groupBy (skipped here — we verify the write-side layout).
+    """
+    from ..operators.gridfs import GRIDFS_CHUNK_SIZE, chunk_binary, file_descriptors
+
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = spark.sparkContext.defaultParallelism
+    imgs = synthesize_images(
+        docs.repartition(n, "doc_id"), "doc_id", width=_SRC_W, height=_SRC_H
+    )
+    transformed = transform_images(imgs, "image", size=(224, 224), codec=RawCodec)
+    blobs = transformed.select(
+        "doc_id",
+        F.col("image_transformed").alias("blob"),
+        F.col("image_transformed_status").alias("status"),
+    )
+    files = file_descriptors(
+        blobs,
+        "doc_id",
+        "blob",
+        filename_col=F.concat(
+            F.col("doc_id").cast("string"), F.lit("_transformed.jpg")
+        ),
+        chunk_size=GRIDFS_CHUNK_SIZE,
+    ).select(F.col("_id"), F.col("filename"), F.col("length"))
+    chunks = chunk_binary(blobs, "doc_id", "blob", chunk_size=GRIDFS_CHUNK_SIZE)
+    per_file = chunks.groupBy("files_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        blobs.join(files, blobs["doc_id"] == files["_id"])
+        .join(per_file, blobs["doc_id"] == per_file["files_id"])
+        .select(
+            "doc_id",
+            F.col("length").alias("transformed_len"),
+            "n_chunks",
+            "filename",
+            "status",
+        )
+    )
