@@ -1,0 +1,86 @@
+"""Connected components — the iterative clustering step of near-dup
+deduplication (pairs -> clusters -> one canonical doc per cluster).
+
+LSH/MinHash emits PAIRS; a training pipeline needs CLUSTERS (a dup
+chain a-b, b-c must collapse to one survivor). That closure is an
+iterative fixpoint no single SQL query expresses — the canonical
+"iterative algorithm" case of the driver's rows-only category.
+
+Algorithm: label propagation ("hash-min"). Every vertex starts
+labeled with its own id; each round every vertex takes the min label
+in its neighborhood (incl. itself); converged when no label changes.
+Rounds = graph diameter, and near-dup graphs are shallow (dup
+clusters are cliques or short chains), so 3-6 rounds cover real
+corpora.
+
+Scale posture per round: one groupBy(vertex) over the edge list —
+shuffle on vertex id; labels are persisted and lineage is truncated
+with localCheckpoint so the plan does not grow exponentially with
+iterations (the classic iterative-Spark trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``edges``; component =
+    min vertex id reachable. Raises if not converged within
+    ``max_iterations`` (shallow graphs converge in a handful)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["vertex"])
+            .groupBy(F.col("u").alias("vertex"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage every round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("vertex", F.col("label").alias("component"))
+    raise RuntimeError(f"did not converge in {max_iterations} iterations")
+
+
+def canonical_per_cluster(components: DataFrame) -> DataFrame:
+    """(component, canonical_vertex): keep-first applied to clusters —
+    the min id is the deterministic survivor (the scalable form of the
+    reference's docs_list[0] keep, src/transform_load.py:59-60)."""
+    return components.groupBy("component").agg(
+        F.min("vertex").alias("canonical_vertex"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )

@@ -115,3 +115,21 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.repartition(n, "doc_id").select(
         "doc_id", simhash(F.col("text")).alias("simhash64")
     )
+
+
+@query("near_dup_clusters", oracle=None, tags=("dedup", "iterative", "extension"))
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (rows-only: iterative fixpoint, the driver's
+    non-SQL-expressible category): MinHash-LSH candidate pairs ->
+    connected components -> per-cluster canonical doc + size — the
+    full dedup decision a training pipeline acts on (keep canonical,
+    drop the rest). Correctness of the component closure is pinned on
+    known graphs in tests/test_components.py."""
+    from ..operators.components import canonical_per_cluster, connected_components
+
+    docs = load(spark, "documents", sf_dir)
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", k=5, num_hashes=64, bands=16, min_jaccard=0.4
+    )
+    comps = connected_components(pairs)
+    return canonical_per_cluster(comps)
