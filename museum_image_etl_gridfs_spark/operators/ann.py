@@ -71,6 +71,83 @@ def assign_cells(
     return centroids, assigned
 
 
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_blocks: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via block-matrix products.
+
+    The naive pair join evaluates O(n²) interpreted dot products; this
+    packs each of ``n_blocks`` hash blocks into ONE row (ids + L2-
+    normalized matrix), cross-joins the upper-triangular block pairs
+    (n_blocks·(n_blocks+1)/2 rows), and lets numpy do each block-pair
+    as a single matmul. No driver collect; memory per task =
+    2 · (n/n_blocks) · dim doubles — scale by raising ``n_blocks``
+    (cost grows O(n²) in total work regardless, as all-pairs must;
+    the win is a vectorized constant factor and bounded task memory).
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    blocked = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    packed = blocked.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "v")).alias("ms")
+    )
+    pairs = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("a.ms").alias("ms_a"),
+            F.col("b.ms").alias("ms_b"),
+        )
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        def unpack(ms):
+            ids = np.array([m["id"] for m in ms])
+            mat = np.array([np.asarray(m["v"], dtype=np.float64) for m in ms])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            return ids, mat / norms
+
+        for pdf in batches:
+            id_a, id_b, sims = [], [], []
+            for blk_a, blk_b, ms_a, ms_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["ms_a"], pdf["ms_b"]
+            ):
+                ia, ma = unpack(ms_a)
+                ib, mb = unpack(ms_b)
+                sim = np.round(ma @ mb.T, round_to)
+                ai, bj = np.nonzero(sim >= threshold)
+                for i, j in zip(ai, bj):
+                    x, y = ia[i], ib[j]
+                    if x == y:
+                        continue
+                    lo, hi = (x, y) if x < y else (y, x)
+                    id_a.append(lo)
+                    id_b.append(hi)
+                    sims.append(float(sim[i, j]))
+            yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": sims})
+
+    id_type = blocked.schema["id"].dataType.simpleString()
+    return pairs.mapInPandas(
+        score, f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    ).dropDuplicates(["id_a", "id_b"])
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
