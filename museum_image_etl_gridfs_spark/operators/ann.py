@@ -148,6 +148,90 @@ def cosine_pairs_blocked(
     ).dropDuplicates(["id_a", "id_b"])
 
 
+def jaccard_pairs_blocked(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    tokens_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    n_sub_blocks: int = 8,
+) -> DataFrame:
+    """All-pairs exact token-set Jaccard ≥ threshold, block-matrix
+    style (same shape as :func:`cosine_pairs_blocked`).
+
+    Each (block, sub-block) packs into one row; block-local sub-block
+    pairs cross-join; per pair numpy builds incidence matrices over
+    the pair's token vocabulary and gets ALL intersection counts from
+    one integer matmul (|A∩B| = Ia @ Ib.T; |A∪B| = |a|+|b|-∩).
+    ``block_col`` is the blocking key (e.g. source) — pairs across
+    blocks are never considered, exactly like the blocked SQL join.
+    """
+    blk = F.col(block_col) if block_col else F.lit(0)
+    packed = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(F.col(tokens_col)).alias("ts"),
+            blk.alias("blk"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub_blocks)).alias("sub"),
+        )
+        .groupBy("blk", "sub")
+        .agg(F.collect_list(F.struct("id", "ts")).alias("ms"))
+    )
+    pairs = (
+        packed.alias("a")
+        .join(
+            packed.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.sub") <= F.col("b.sub")),
+        )
+        .select(
+            F.col("a.ms").alias("ms_a"),
+            F.col("b.ms").alias("ms_b"),
+        )
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            id_a, id_b, jacs = [], [], []
+            for ms_a, ms_b in zip(pdf["ms_a"], pdf["ms_b"]):
+                sets_a = [(m["id"], set(m["ts"])) for m in ms_a]
+                sets_b = [(m["id"], set(m["ts"])) for m in ms_b]
+                vocab = {}
+                for _, s in sets_a + sets_b:
+                    for t in s:
+                        vocab.setdefault(t, len(vocab))
+                ia = np.zeros((len(sets_a), len(vocab)), dtype=np.int32)
+                ib = np.zeros((len(sets_b), len(vocab)), dtype=np.int32)
+                for r, (_, s) in enumerate(sets_a):
+                    ia[r, [vocab[t] for t in s]] = 1
+                for r, (_, s) in enumerate(sets_b):
+                    ib[r, [vocab[t] for t in s]] = 1
+                inter = ia @ ib.T
+                size_a = ia.sum(axis=1)[:, None]
+                size_b = ib.sum(axis=1)[None, :]
+                union = size_a + size_b - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    jac = np.where(union == 0, 0.0, inter / union)
+                xi, yj = np.nonzero(jac >= threshold)
+                for i, j in zip(xi, yj):
+                    x, y = sets_a[i][0], sets_b[j][0]
+                    if x == y:
+                        continue
+                    lo, hi = (x, y) if x < y else (y, x)
+                    id_a.append(lo)
+                    id_b.append(hi)
+                    jacs.append(float(jac[i, j]))
+            yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "jaccard": jacs})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return pairs.mapInPandas(
+        score, f"id_a {id_type}, id_b {id_type}, jaccard double"
+    ).dropDuplicates(["id_a", "id_b"])
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

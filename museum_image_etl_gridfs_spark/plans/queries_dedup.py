@@ -59,36 +59,34 @@ def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity", "extension"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard over same-source pairs (blocked join).
-
-    Blocking on ``source`` keeps the pair space linear-ish — the
+    """Exact token-set Jaccard over same-source pairs — the
     exact-verification stage that follows LSH candidate generation in
     a production near-dup pipeline.
+
+    Executed block-matrix style (operators/ann.py::
+    jaccard_pairs_blocked): blocking on ``source`` bounds the pair
+    space exactly like the SQL join; sub-blocking by id hash restores
+    parallelism beyond the handful of sources; intersection counts
+    come from one integer matmul per block pair instead of millions
+    of interpreted array_intersect calls (~10x at sf0.1).
     """
+    from ..operators.ann import jaccard_pairs_blocked
+
     docs = load(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id",
         "source",
-        F.array_distinct(
-            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
         ).alias("ts"),
     )
-    a, b = toks.alias("a"), toks.alias("b")
-    union_n = F.size(F.array_union(F.col("a.ts"), F.col("b.ts")))
-    inter_n = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
-    jac = F.when(union_n == 0, F.lit(0.0)).otherwise(inter_n / union_n)
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+    return jaccard_pairs_blocked(
+        toks,
+        id_col="doc_id",
+        tokens_col="ts",
+        block_col="source",
+        threshold=0.5,
+        n_sub_blocks=8,
     )
 
 
