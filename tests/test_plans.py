@@ -111,3 +111,41 @@ def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
     bounds (no shuffle of the fact side for the join itself)."""
     plan = _plan(QUERIES["quantity_tier_revenue"].build(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_exists_plans_as_semi_join_with_residual(spark, sf_dir):
+    """Q4-shape EXISTS must plan a LEFT SEMI join (not inner+distinct)
+    carrying the non-equi shipdate correlation as a join residual."""
+    plan = _plan(QUERIES["priority_exists_counts"].build(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_not_exists_plans_as_anti_join(spark, sf_dir):
+    """Q21-shape NOT EXISTS must plan a LEFT ANTI join; the supplier
+    dimension must broadcast."""
+    plan = _plan(QUERIES["sole_return_suppliers"].build(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_disjunction_derives_single_side_pushdown(spark, sf_dir):
+    """Q19-shape OR-of-ANDs: Catalyst must derive the per-side
+    implications and push the quantity bracket into the lineitem scan
+    (visible as a pushed-down range filter), leaving the residual OR
+    post-join."""
+    plan = _plan(QUERIES["disjunctive_bracket_revenue"].build(spark, sf_dir))
+    scan_section = plan.split("PushedFilters")
+    assert len(scan_section) >= 2
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400] or (
+        "l_quantity" in plan.split("PushedFilters")[-1][:400]
+    )
+
+
+def test_global_scalar_subquery_not_collected(spark, sf_dir):
+    """Q11-shape global-total threshold must stay in the plan as a
+    broadcast join (single-row build side), never a driver collect —
+    the plan has a BroadcastNestedLoopJoin/BroadcastHashJoin and no
+    scalar literal baked in."""
+    plan = _plan(QUERIES["important_part_values"].build(spark, sf_dir))
+    assert "Broadcast" in plan
