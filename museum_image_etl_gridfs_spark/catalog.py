@@ -55,9 +55,9 @@ def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame
 
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # `ts div 1000` is exact long division; `ts / 1000` would
+            # round through a double (1 µs off near .9995 boundaries)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 

@@ -264,6 +264,64 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_expired_sessions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS tms FROM events
+    ),
+    deltas AS (
+        SELECT user_id, tms,
+               CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+                         > 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, tms,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY tms
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM deltas
+    ),
+    agg AS (
+        SELECT user_id,
+               MIN(tms) AS s_ms, MAX(tms) AS e_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           make_timestamp(s_ms * 1000) AS session_start,
+           make_timestamp(e_ms * 1000) AS session_end,
+           n_events
+    FROM agg
+    WHERE e_ms + 1800000 < (SELECT MAX(epoch_ms(ts)) - 1800000 FROM events)
+    """,
+    tags=("streaming", "stateful", "timeout", "extension"),
+)
+def stream_expired_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-timeout sessionization (applyInPandasWithState +
+    GroupStateTimeout.EventTimeTimeout): per-user sessions that CLOSE
+    when the watermark passes last activity + 30 min, emitted in
+    append mode exactly once.
+
+    The oracle is the batch sessionization (lag/sum gap-split on
+    ms-truncated event time) restricted to sessions the final
+    watermark (max ts - 30 min delay) has provably closed — open
+    tails are withheld on both engines. Timeout firing is strict
+    (``timeout < watermark``), mirrored by the oracle's ``<``.
+    """
+    import uuid
+
+    from ..streaming import events_stream, run_to_memory, stream_expiring_sessions
+
+    ev = events_stream(spark, sf_dir)
+    return run_to_memory(
+        stream_expiring_sessions(ev),
+        f"q_expired_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+@query(
     "events_dedup_rerun",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_after_dedup,

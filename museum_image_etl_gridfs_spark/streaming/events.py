@@ -41,9 +41,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # exact long division (a double `/ 1000` rounds up near .9995)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def stream_tumbling_counts(
@@ -149,6 +148,93 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
             stateStructType="n long, total double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_expiring_sessions(
+    events: DataFrame, gap_ms: int = 1_800_000, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Sessionization with EVENT-TIME TIMEOUT expiry: a per-user
+    session closes (and is emitted, exactly once) when the watermark
+    passes its last activity + ``gap_ms``.
+
+    This is the semantic ``session_window`` can't give you in append
+    mode with custom per-session state, and the reference's batch
+    world can't express at all: an unbounded stream where each
+    session is finalized the moment event time proves no more events
+    can join it (SURVEY.md §2.9). State per user is one open-session
+    triple (start, end, n) — bounded by active users, not history;
+    expiry is driven by ``GroupStateTimeout.EventTimeTimeout``, so an
+    idle user's state is dropped by the engine, not by a scan.
+
+    Emission paths:
+    - timeout fires (watermark > last activity + gap): emit the open
+      session, remove state;
+    - an in-batch gap larger than ``gap_ms`` splits sessions: all but
+      the last are closed and emitted immediately, the last becomes
+      the open state with its timeout re-armed.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        def frame(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "session_start": [pd.to_datetime(s, unit="ms") for s, _, _ in rows],
+                    "session_end": [pd.to_datetime(e, unit="ms") for _, e, _ in rows],
+                    "n_events": [n for _, _, n in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            closed = tuple(state.get)
+            state.remove()
+            yield frame([closed])
+            return
+
+        ts = sorted(
+            int(v)  # epoch ms; dt.floor to match epoch_ms truncation
+            for pdf in pdfs
+            for v in pdf["ts"].dt.floor("ms").astype("datetime64[ms]").astype("int64")
+        )
+        closed = []
+        cur = list(state.get) if state.exists else None
+        for t in ts:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t <= cur[1] + gap_ms:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+            else:
+                closed.append(tuple(cur))
+                cur = [t, t, 1]
+        state.update(tuple(cur))
+        # the timeout must sit strictly above the current watermark or
+        # Spark rejects it (an old straggler session re-arms at wm+1
+        # and expires on the very next batch)
+        state.setTimeoutTimestamp(
+            max(cur[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield frame(closed)
+
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events long"
+            ),
+            stateStructType="start long, end long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
