@@ -1,0 +1,395 @@
+"""Data-curation queries: quality filters, PII redaction, benchmark
+contamination, reproducible sampling, token-budget packing, TF-IDF.
+
+The curation stages of a training-data pipeline (C4 / Gopher /
+RefinedWeb lineage), each expressed as pure declarative DataFrame
+plans over ``documents`` — no Python in any hot path — and each
+verified bit-for-bit against a DuckDB oracle.
+
+Scale notes (100 TB):
+- every per-document query here is embarrassingly parallel (narrow,
+  no shuffle) except where stated;
+- contamination joins the corpus against a SMALL eval-shingle set ->
+  explicit ``broadcast()``, no shuffle of the corpus;
+- packing windows partition by ``source`` so state per window task is
+  one shard, not the corpus;
+- TF-IDF's doc-frequency join is the one genuinely shuffling stage;
+  it shuffles (term) pairs once, with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import quality as Q
+from .registry import query
+
+# ---------------------------------------------------------------- SQL mirrors
+
+#: whitespace word array over lowercased text; NULL/blank -> []
+_SQL_WORDS_LOWER = (
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+_SQL_WORDS = (
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+#: first-8-hex-digits-of-md5 bucket in [0,1000) — mirrors
+#: functions/quality.py::hash_bucket via a hex-digit fold.
+_SQL_HASH_BUCKET_1000 = (
+    "CAST(list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(regexp_split_to_array("
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''), "
+    "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+    "(h, c) -> h * 16 + c) % 1000 AS INTEGER)"
+)
+
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in Q.STOPWORDS) + "]"
+
+
+@query(
+    "quality_flags",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_SQL_WORDS} AS w,
+               length(regexp_replace(trim(coalesce(text, '')), '\\s+', '', 'g'))
+                   AS solid
+        FROM documents),
+    g AS (
+        SELECT doc_id, w, solid, len(w) AS n,
+               CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i+1]) END AS g2,
+               CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    END AS g3
+        FROM base),
+    m AS (
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_words,
+               round(CASE WHEN n = 0 THEN 0.0
+                     ELSE solid / CAST(n AS DOUBLE) END, 4) AS mean_word_len,
+               round(CASE WHEN n = 0 THEN 0.0
+                     ELSE len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                          / CAST(n AS DOUBLE) END, 4) AS frac_alpha,
+               CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+                                       {_STOPS_SQL})) AS INTEGER) AS stop_hits,
+               round(CASE WHEN len(g2) = 0 THEN 0.0
+                     ELSE (len(g2) - len(list_distinct(g2)))
+                          / CAST(len(g2) AS DOUBLE) END, 4) AS dup_bigram_frac,
+               round(CASE WHEN len(g3) = 0 THEN 0.0
+                     ELSE (len(g3) - len(list_distinct(g3)))
+                          / CAST(len(g3) AS DOUBLE) END, 4) AS dup_trigram_frac
+        FROM g)
+    SELECT *,
+           (n_words >= 10 AND n_words <= 100000
+            AND mean_word_len >= 2 AND mean_word_len <= 12
+            AND frac_alpha >= 0.5 AND stop_hits >= 1
+            AND dup_bigram_frac <= 0.6) AS quality_pass
+    FROM m
+    """,
+    tags=("text", "quality", "extension"),
+)
+def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-document quality signals and the combined
+    keep/drop verdict: word-count bounds, mean word length,
+    alphabetic-word fraction, distinct-stopword hits, and duplicate
+    bigram/trigram fractions (the repetition filter).
+
+    All higher-order array expressions on the JVM — the whole filter
+    is one narrow codegen stage, so at 100 TB it runs at scan speed
+    with zero shuffle and zero Python. The verdict compares the
+    ROUNDED signals so the boolean is bit-stable across engines.
+    """
+    docs = load(spark, "documents", sf_dir)
+    w = Q.words("text")
+    n = F.size(w)
+    solid = F.length(F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", ""))
+    mwl = F.round(F.when(n == 0, F.lit(0.0)).otherwise(solid / n.cast("double")), 4)
+    out = docs.select(
+        "doc_id",
+        n.cast("int").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        F.round(Q.frac_alpha_words(w), 4).alias("frac_alpha"),
+        Q.stopword_hits(w).cast("int").alias("stop_hits"),
+        F.round(Q.dup_ngram_fraction(w, 2), 4).alias("dup_bigram_frac"),
+        F.round(Q.dup_ngram_fraction(w, 3), 4).alias("dup_trigram_frac"),
+    )
+    return out.withColumn(
+        "quality_pass",
+        (F.col("n_words") >= 10) & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12)
+        & (F.col("frac_alpha") >= 0.5) & (F.col("stop_hits") >= 1)
+        & (F.col("dup_bigram_frac") <= 0.6),
+    )
+
+
+#: deterministic synthetic PII so the redaction path is exercised on
+#: word-soup fixtures (appended identically by both engines)
+_SQL_AUG = (
+    "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) "
+    "|| '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' end'"
+)
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_SQL_AUG} AS t FROM documents),
+    e AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{Q.EMAIL_RE}')) AS INTEGER)
+                   AS n_emails,
+               regexp_replace(t, '{Q.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+        FROM aug)
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{Q.IPV4_RE}')) AS INTEGER) AS n_ips,
+           md5(regexp_replace(t1, '{Q.IPV4_RE}', '<IP>', 'g')) AS redacted_fp
+    FROM e
+    """,
+    tags=("text", "pii", "extension"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails then IPv4 addresses with
+    engine-portable regexes (syntax restricted to the Java-regex ∩ RE2
+    common subset). The fixtures are synthetic word soup, so a
+    deterministic contact line is appended first — the regex hot path
+    is exercised on every row and verified via md5 of the redacted
+    text. Narrow, zero-shuffle, codegen'd: scan-speed at 100 TB.
+    """
+    docs = load(spark, "documents", sf_dir)
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"), F.lit(" end"),
+    )
+    t1 = F.regexp_replace(aug, Q.EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(Q.EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(Q.IPV4_RE), 0)).alias("n_ips"),
+        F.md5(F.regexp_replace(t1, Q.IPV4_RE, "<IP>")).alias("redacted_fp"),
+    )
+
+
+@query(
+    "eval_contamination",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i+1]) END) AS sh
+        FROM (SELECT doc_id, {_SQL_WORDS_LOWER} AS w FROM documents)),
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g
+           FROM s WHERE doc_id % 97 <> 0),
+    j AS (
+        SELECT tr.doc_id, tr.n_shingles,
+               sum(CASE WHEN ev.g IS NULL THEN 0 ELSE 1 END) AS hits
+        FROM tr LEFT JOIN ev ON tr.g = ev.g
+        GROUP BY 1, 2)
+    SELECT doc_id, CAST(n_shingles AS INTEGER) AS n_shingles,
+           CAST(hits AS INTEGER) AS n_overlap,
+           round(CASE WHEN n_shingles = 0 THEN 0.0
+                 ELSE hits / CAST(n_shingles AS DOUBLE) END, 4) AS contam_frac
+    FROM j
+    """,
+    tags=("text", "dedup", "extension"),
+)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: word-bigram overlap of every
+    training document against the shingle set of a held-out eval split
+    (``doc_id % 97 == 0``). The decontamination stage every serious
+    pretraining pipeline runs before training.
+
+    Scale shape: the eval shingle set is tiny relative to the corpus,
+    so it is explicitly ``broadcast()`` — the 100 TB side is scanned
+    once, joined map-side with zero shuffle of the corpus, and
+    aggregated with map-side partial combine on (doc_id).
+    """
+    docs = load(spark, "documents", sf_dir)
+    w = Q.words(F.lower(F.col("text")))
+    s = docs.select(
+        "doc_id", F.array_distinct(Q.word_ngrams(w, 2)).alias("sh")
+    )
+    ev = (
+        s.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("g")).distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = s.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
+    )
+    agg = (
+        tr.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_shingles").cast("int"),
+        F.col("hits").cast("int").alias("n_overlap"),
+        F.round(
+            F.when(F.col("n_shingles") == 0, F.lit(0.0))
+            .otherwise(F.col("hits") / F.col("n_shingles").cast("double")), 4
+        ).alias("contam_frac"),
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, {_SQL_HASH_BUCKET_1000} AS bucket
+    FROM documents
+    WHERE {_SQL_HASH_BUCKET_1000}
+          < (CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 300 ELSE 500 END)
+    """,
+    tags=("sampling", "extension"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: per-language keep rates
+    (en 10%, zh 30%, rest 50% — down-sample the over-represented
+    stratum) decided by a deterministic md5 hash bucket, not an RNG.
+
+    This is how a 100 TB pipeline samples: hash-of-key sampling is
+    order- and partitioning-independent, re-runnable to the same rows,
+    auditable by any other engine, and needs no seed coordination
+    across 1000 executors. Contrast ``df.sampleBy``, whose output
+    depends on partition iteration order.
+    """
+    docs = load(spark, "documents", sf_dir)
+    bucket = Q.hash_bucket("doc_id", 1000)
+    rate = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "zh", 300)
+        .otherwise(500)
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("r"))
+        .filter(F.col("bucket") < F.col("r"))
+        .drop("r")
+    )
+
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "token_budget_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS n_tokens
+        FROM documents),
+    o AS (
+        SELECT source, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_off
+        FROM t)
+    SELECT source, CAST(start_off // {_PACK_BUDGET} AS INTEGER) AS bin_id,
+           CAST(count(*) AS INTEGER) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM o GROUP BY 1, 2
+    """,
+    tags=("packing", "extension"),
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents are packed, in stable
+    doc_id order, into ~512-token bins per source shard (each doc's
+    bin is its running-start-offset // budget — contiguous greedy
+    packing, the standard pretraining batching step).
+
+    The window partitions by ``source``, so at 100 TB each task holds
+    one shard's running sum — no global sort, no driver state. A
+    global pack order would be the wrong design at scale; per-shard
+    determinism is what real pipelines (and this oracle) pin down.
+    """
+    from ..functions.text import token_count
+
+    docs = load(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select("source", "doc_id", token_count("text").alias("n_tokens"))
+    o = t.withColumn(
+        "start_off", F.sum("n_tokens").over(win) - F.col("n_tokens")
+    )
+    return (
+        o.groupBy(
+            "source",
+            F.floor(F.col("start_off") / _PACK_BUDGET).cast("int").alias("bin_id"),
+        )
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_SQL_WORDS_LOWER}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    s AS (
+        SELECT doc_id, term,
+               round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rk
+        FROM s)
+    SELECT doc_id, term, tfidf, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
+    """,
+    tags=("text", "ranking", "extension"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1, sklearn's formulation) with a deterministic
+    (score desc, term asc) tiebreak.
+
+    Plan shape at scale: one explode, then BOTH aggregations
+    (per-doc tf, per-term df) get map-side partial combine; the
+    tf⋈df join shuffles on term once; corpus size N arrives as a
+    1-row broadcast cross join, not a collected driver constant.
+    """
+    docs = load(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id", F.explode(Q.words(F.lower(F.col("text")))).alias("term")
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.groupBy().agg(F.count("*").alias("n"))
+    s = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    )
+    return s.withColumn("rk", rk).filter(F.col("rk") <= 3)

@@ -1,0 +1,163 @@
+"""Unit tests for the data-curation functions and queries
+(functions/quality.py, plans/queries_quality.py) on hand-computed
+inputs — semantics pinned independently of the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from museum_image_etl_gridfs_spark.functions import quality as Q
+from museum_image_etl_gridfs_spark.plans import all_queries
+
+
+def _one(df, expr, **cols):
+    return df.select(expr.alias("v"), *[F.col(c) for c in cols]).first()["v"]
+
+
+def test_words_handles_null_and_blank(spark):
+    df = spark.createDataFrame(
+        [("a  b\tc",), ("   ",), (None,)], ["text"]
+    ).select(Q.words("text").alias("w"))
+    assert [r["w"] for r in df.collect()] == [["a", "b", "c"], [], []]
+
+
+def test_word_ngrams_counts_and_short_docs(spark):
+    df = spark.createDataFrame([("a b c a b",), ("a",), ("",)], ["text"])
+    grams = df.select(Q.word_ngrams(Q.words("text"), 2).alias("g")).collect()
+    assert grams[0]["g"] == ["a b", "b c", "c a", "a b"]
+    assert grams[1]["g"] == []
+    assert grams[2]["g"] == []
+
+
+def test_dup_ngram_fraction_hand_computed(spark):
+    # bigrams of "a b a b a": [a b, b a, a b, b a] -> 4 total, 2 distinct
+    df = spark.createDataFrame([("a b a b a",)], ["text"])
+    v = _one(df, Q.dup_ngram_fraction(Q.words("text"), 2))
+    assert v == pytest.approx(0.5)
+    # all-unique trigram case
+    df2 = spark.createDataFrame([("w x y z",)], ["text"])
+    assert _one(df2, Q.dup_ngram_fraction(Q.words("text"), 3)) == 0.0
+
+
+def test_frac_alpha_and_stopword_hits(spark):
+    df = spark.createDataFrame([("The cat 123 !! and THE dog",)], ["text"])
+    w = Q.words("text")
+    # 7 words, non-alpha: "123", "!!" -> 5/7
+    assert _one(df, Q.frac_alpha_words(w)) == pytest.approx(5 / 7)
+    # distinct stopword hits: the (x2 counts once) + and -> 2
+    assert _one(df, Q.stopword_hits(w)) == 2
+
+
+def test_hash_bucket_matches_python_md5(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", Q.hash_bucket("doc_id").alias("b")).collect()
+    }
+    for i in range(50):
+        expect = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+        assert got[i] == expect
+
+
+def test_pii_regexes_redact_and_count(spark):
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-y.org then 192.168.0.1 and 1.2.3.4 but not 1.2.3",)],
+        ["text"],
+    )
+    n_mail = _one(df, F.size(F.regexp_extract_all("text", F.lit(Q.EMAIL_RE), 0)))
+    n_ip = _one(df, F.size(F.regexp_extract_all("text", F.lit(Q.IPV4_RE), 0)))
+    assert n_mail == 1
+    # "1.2.3" has only 3 octets -> not matched
+    assert n_ip == 2
+    red = _one(
+        df,
+        F.regexp_replace(
+            F.regexp_replace("text", Q.EMAIL_RE, "<EMAIL>"), Q.IPV4_RE, "<IP>"
+        ),
+    )
+    assert red == "mail <EMAIL> then <IP> and <IP> but not 1.2.3"
+
+
+def test_token_budget_packing_bins_are_contiguous(spark, sf_dir):
+    q = all_queries()["token_budget_packing"]
+    rows = q.build(spark, sf_dir).collect()
+    by_source: dict[str, list[Row]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, bins in by_source.items():
+        ids = sorted(b["bin_id"] for b in bins)
+        # bins are consecutive integers starting at 0
+        assert ids == list(range(len(ids))), source
+        # only the last bin may hold a lone over-budget doc; every
+        # earlier bin crosses the budget boundary by construction
+        for b in bins:
+            assert b["n_docs"] >= 1
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    q = all_queries()["stratified_sample"]
+    out = q.build(spark, sf_dir)
+    rates = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    from museum_image_etl_gridfs_spark.catalog import load
+
+    totals = {r["lang"]: r["n"] for r in
+              load(spark, "documents", sf_dir).groupBy("lang")
+              .agg(F.count("*").alias("n")).collect()}
+    # en sampled at ~10%, zh ~30%, rest ~50% — generous 3-sigma-ish
+    # bounds for the tiny sf0.001 strata (binomial, n as low as ~6)
+    for lang, total in totals.items():
+        kept = rates.get(lang, 0)
+        p = {"en": 0.1, "zh": 0.3}.get(lang, 0.5)
+        sd = (total * p * (1 - p)) ** 0.5
+        assert abs(kept - total * p) <= 3 * sd + 1, (lang, kept, total)
+
+
+def test_quality_flags_mix_and_formula(spark, sf_dir):
+    q = all_queries()["quality_flags"]
+    rows = q.build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    passed = [r for r in rows if r["quality_pass"]]
+    failed = [r for r in rows if not r["quality_pass"]]
+    # fixture corpus contains both keepers and droppers
+    assert passed and failed
+    for r in rows:
+        expect = (
+            10 <= r["n_words"] <= 100000
+            and 2 <= r["mean_word_len"] <= 12
+            and r["frac_alpha"] >= 0.5
+            and r["stop_hits"] >= 1
+            and r["dup_bigram_frac"] <= 0.6
+        )
+        assert r["quality_pass"] == expect
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    # 3 docs; "rare" appears in one doc, "common" in all three.
+    docs = spark.createDataFrame(
+        [(0, "rare common"), (1, "common zz"), (2, "common yy")],
+        ["doc_id", "text"],
+    )
+    t = docs.select("doc_id", F.explode(Q.words(F.lower("text"))).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    s = tf.join(df_, "term").select(
+        "doc_id", "term",
+        (F.col("tf") * (F.log((3 + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("w"),
+    )
+    w = {(r["doc_id"], r["term"]): r["w"] for r in s.collect()}
+    assert w[(0, "rare")] > w[(0, "common")]
+
+
+def test_eval_contamination_excludes_eval_docs(spark, sf_dir):
+    q = all_queries()["eval_contamination"]
+    rows = q.build(spark, sf_dir).collect()
+    assert all(r["doc_id"] % 97 != 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= r["n_shingles"]
+        assert 0.0 <= r["contam_frac"] <= 1.0
