@@ -105,12 +105,28 @@ def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero shuffle and zero Python. The verdict compares the
     ROUNDED signals so the boolean is bit-stable across engines.
     """
+    # words materialize behind an Exchange before any HOF touches them:
+    # interpreted lambdas get no subexpression elimination, so an
+    # inline words expression would re-run split() per element_at call
+    # in every signal (and the barrier also spreads the single-row-
+    # group scan across cores — 45s -> 0.6s at sf0.1). Second barrier
+    # keeps CollapseProject from folding each signal into the verdict
+    # boolean and computing it twice.
+    par = spark.sparkContext.defaultParallelism
     docs = load(spark, "documents", sf_dir)
-    w = Q.words("text")
+    wdf = docs.select(
+        "doc_id",
+        Q.words("text").alias("w"),
+        F.length(
+            F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", "")
+        ).alias("solid"),
+    ).repartition(par, "doc_id")
+    w = F.col("w")
     n = F.size(w)
-    solid = F.length(F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", ""))
-    mwl = F.round(F.when(n == 0, F.lit(0.0)).otherwise(solid / n.cast("double")), 4)
-    out = docs.select(
+    mwl = F.round(
+        F.when(n == 0, F.lit(0.0)).otherwise(F.col("solid") / n.cast("double")), 4
+    )
+    out = wdf.select(
         "doc_id",
         n.cast("int").alias("n_words"),
         mwl.alias("mean_word_len"),
@@ -118,7 +134,7 @@ def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.stopword_hits(w).cast("int").alias("stop_hits"),
         F.round(Q.dup_ngram_fraction(w, 2), 4).alias("dup_bigram_frac"),
         F.round(Q.dup_ngram_fraction(w, 3), 4).alias("dup_trigram_frac"),
-    )
+    ).repartition(par, "doc_id")
     return out.withColumn(
         "quality_pass",
         (F.col("n_words") >= 10) & (F.col("n_words") <= 100000)
@@ -214,23 +230,48 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, joined map-side with zero shuffle of the corpus, and
     aggregated with map-side partial combine on (doc_id).
     """
+    # Two load-bearing Exchange barriers. (1) after the word split:
+    # interpreted HOF lambdas get NO subexpression elimination, so an
+    # inline words expression is re-split per element_at call inside
+    # the n-gram transform (~4x); (2) after the shingle arrays: without
+    # it CollapseProject folds the HOF chain into the Generate and the
+    # per-doc work is repeated per EXPLODED row (~20x). Both exchanges
+    # also spread the single-row-group fixture scan across cores.
+    n = spark.sparkContext.defaultParallelism
     docs = load(spark, "documents", sf_dir)
-    w = Q.words(F.lower(F.col("text")))
-    s = docs.select(
-        "doc_id", F.array_distinct(Q.word_ngrams(w, 2)).alias("sh")
-    )
+    wdf = docs.select(
+        "doc_id", Q.words(F.lower(F.col("text"))).alias("w")
+    ).repartition(n, "doc_id")
+    s = wdf.select(
+        "doc_id", F.array_distinct(Q.word_ngrams(F.col("w"), 2)).alias("sh")
+    ).repartition(n, "doc_id")
+    # explode_outer, NOT explode: InferFiltersFromGenerate synthesizes
+    # a size(sh) > 0 predicate from a plain explode, and pushdown then
+    # inlines the ENTIRE shingle HOF chain into a scan-side filter
+    # (re-evaluated per row, single partition — 7s at sf0.1). The rule
+    # skips outer generates; the g IS NOT NULL post-filter restores
+    # exact explode semantics for pennies.
     ev = (
         s.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("sh").alias("g")).distinct()
+        .select(F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
         .withColumn("hit", F.lit(1))
     )
-    tr = s.filter(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
+    # shingles are distinct per doc, so n_shingles == count(*) in the
+    # post-join aggregate — no size() carried through the explode
+    tr = (
+        s.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     agg = (
         tr.join(F.broadcast(ev), "g", "left")
-        .groupBy("doc_id", "n_shingles")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+        )
     )
     return agg.select(
         "doc_id",
@@ -369,9 +410,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf⋈df join shuffles on term once; corpus size N arrives as a
     1-row broadcast cross join, not a collected driver constant.
     """
+    par = spark.sparkContext.defaultParallelism
     docs = load(spark, "documents", sf_dir)
-    t = docs.select(
-        "doc_id", F.explode(Q.words(F.lower(F.col("text")))).alias("term")
+    # barrier + explode_outer: see eval_contamination — keeps the word
+    # split out of scan-side inferred filters and off the 1-partition scan
+    wdf = docs.select(
+        "doc_id", Q.words(F.lower(F.col("text"))).alias("w")
+    ).repartition(par, "doc_id")
+    t = (
+        wdf.select("doc_id", F.explode_outer("w").alias("term"))
+        .filter(F.col("term").isNotNull())
     )
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
