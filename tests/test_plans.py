@@ -149,3 +149,39 @@ def test_global_scalar_subquery_not_collected(spark, sf_dir):
     scalar literal baked in."""
     plan = _plan(QUERIES["important_part_values"].build(spark, sf_dir))
     assert "Broadcast" in plan
+
+
+def test_curation_queries_stay_jvm_side(spark, sf_dir):
+    """The curation suite must plan zero Python evaluation (kmeans
+    queries are the deliberate mapInPandas exceptions)."""
+    for name in (
+        "quality_flags", "pii_redaction_stats", "eval_contamination",
+        "stratified_sample", "token_budget_packing", "tfidf_top_terms",
+    ):
+        plan = _plan(QUERIES[name].build(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_contamination_broadcasts_eval_shingles(spark, sf_dir):
+    """eval_contamination must broadcast the (small) eval shingle set;
+    the corpus side must not shuffle for the join."""
+    plan = _plan(QUERIES["eval_contamination"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            raise AssertionError(f"corpus shuffled for join: {line}")
+
+
+def test_no_hof_lambda_leaks_into_filters(spark, sf_dir):
+    """Regression: InferFiltersFromGenerate + pushdown once inlined the
+    whole interpreted shingle HOF chain into scan-side filters
+    (re-evaluated per row, ~20x). Pin that no Filter in the optimized
+    plan contains a lambda expression."""
+    for name in ("quality_flags", "eval_contamination", "tfidf_top_terms"):
+        df = QUERIES[name].build(spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in logical.splitlines():
+            if "Filter" in line:
+                assert "lambdafunction" not in line, (name, line[:200])
