@@ -443,6 +443,146 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.withColumn("rk", rk).filter(F.col("rk") <= 3)
 
 
+#: per-source mixing weight: even-numbered sources down-sampled to
+#: 0.3 epochs, odd-numbered up-sampled to 1.7 (repetition)
+_SQL_MIX_W = (
+    "CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 "
+    "THEN 0.3 ELSE 1.7 END"
+)
+
+
+@query(
+    "source_mixture_epoch",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, {_SQL_MIX_W} AS wt, {_SQL_HASH_BUCKET_1000} AS b
+        FROM documents),
+    c AS (
+        SELECT doc_id, source,
+               CAST(floor(wt) AS INTEGER)
+               + (CASE WHEN b < CAST(round((wt - floor(wt)) * 1000, 0) AS INTEGER)
+                       THEN 1 ELSE 0 END) AS n_copies
+        FROM w)
+    SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy
+    FROM c WHERE n_copies > 0
+    """,
+    tags=("sampling", "mixing", "extension"),
+)
+def source_mixture_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing epoch construction: each source gets a sampling
+    weight (0.3 = keep 30%, 1.7 = every doc once plus 70% twice) and
+    the epoch materializes as (doc, copy) rows. The integer part
+    replicates deterministically; the fractional part is decided by
+    the same md5 hash bucket as stratified_sample — so the epoch is
+    reproducible row-for-row across engines, partitionings and reruns,
+    which is what makes training-data mixing auditable.
+
+    One narrow pass: weight/bucket projection, sequence + explode.
+    No shuffle at any scale.
+    """
+    docs = load(spark, "documents", sf_dir)
+    wt = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.3)
+    ).otherwise(F.lit(1.7))
+    c = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.floor(wt).cast("int")
+            + F.when(
+                Q.hash_bucket("doc_id", 1000)
+                < F.round((wt - F.floor(wt)) * 1000, 0).cast("int"),
+                1,
+            ).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        c.filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
+        )
+    )
+
+
+_BM25_TERMS = ("spark", "table", "fast")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "bm25_scores",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_SQL_WORDS_LOWER}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    s AS (
+        SELECT tf.doc_id,
+               sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf / (tf + {_BM25_K1} * (1 - {_BM25_B}
+                           + {_BM25_B} * dl / avgdl))) AS score
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY 1)
+    SELECT doc_id, round(score, 4) AS bm25 FROM s
+    """,
+    tags=("text", "ranking", "extension"),
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set (k1=1.2, b=0.75) — the lexical-retrieval scorer used for
+    corpus search and quality-targeted selection (e.g. DSIR-style
+    proxies).
+
+    Scale shape: the posting list is filtered to the query terms
+    BEFORE any aggregation (term IN (...) reaches the explode output,
+    so the tf aggregate sees query-term rows only); doc length and
+    avgdl arrive via one broadcast scalar; the tf⋈df join broadcasts
+    the |terms|-row df side.
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, "documents", sf_dir)
+    wdf = docs.select(
+        "doc_id", Q.words(F.lower(F.col("text"))).alias("w")
+    ).repartition(par, "doc_id")
+    t = (
+        wdf.select("doc_id", F.explode_outer("w").alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.groupBy().agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n")
+    )
+    tf = (
+        t.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    s = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    return s.select("doc_id", F.round("score", 4).alias("bm25"))
+
+
 def _zorder_oracle() -> str:
     from ..operators.layout import zorder_key2_sql
 
