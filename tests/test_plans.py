@@ -185,3 +185,12 @@ def test_no_hof_lambda_leaks_into_filters(spark, sf_dir):
         for line in logical.splitlines():
             if "Filter" in line:
                 assert "lambdafunction" not in line, (name, line[:200])
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both SCD2 windows share one hash partitioning: exactly one
+    Exchange, two in-partition Sort+Window stages."""
+    import re
+
+    plan = _plan(QUERIES["scd2_customer_versions"].build(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1, plan
