@@ -341,3 +341,40 @@ def events_dedup_rerun(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doubled.dropDuplicates(["event_id"]).agg(
         F.count(F.lit(1)).alias("n_after_dedup")
     ).crossJoin(ev.agg(F.count(F.lit(1)).alias("n_original")))
+
+
+@query(
+    "stream_attribution_pairs",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS lag_s
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("events", "streaming", "stream-stream-join", "extension"),
+)
+def stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase attribution
+    within 30 min), EXECUTED AS A STREAM: watermarks on both sides
+    bound the join state, availableNow drains the source, and the
+    append-mode output is compared against the DuckDB batch self-join
+    — the strongest check a streaming operator can get (exact value
+    hash, not rows-only).
+
+    date_diff('second') counts second-boundary crossings, which equals
+    Spark's floor-epoch cast difference — exact on both engines.
+    """
+    from ..streaming import (
+        events_stream,
+        run_to_memory,
+        stream_click_purchase_joins,
+    )
+
+    return run_to_memory(
+        stream_click_purchase_joins(events_stream(spark, sf_dir)),
+        "stream_attribution_pairs_tbl",
+        output_mode="append",
+    )

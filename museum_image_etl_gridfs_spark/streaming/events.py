@@ -239,6 +239,58 @@ def stream_expiring_sessions(
     )
 
 
+def stream_click_purchase_joins(
+    events: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same
+    user's purchases landing within ``max_lag`` after it — the
+    attribution join, as a watermarked streaming inner join.
+
+    Scale posture: both sides declare watermarks and the join
+    condition bounds purchase_ts relative to click_ts, so the state
+    store retains each side only for watermark + lag and evicts
+    continuously — the required shape for an unbounded 100 TB/day
+    stream (an unconstrained stream-stream join would buffer forever).
+    The join shuffles both sides on user_id; output is append-mode.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + interval {max_lag}"""
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long"))
+        .alias("lag_s"),
+    )
+
+
 def run_to_parquet(
     stream: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
 ) -> None:

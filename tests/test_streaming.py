@@ -127,3 +127,54 @@ def test_watermark_present_in_plan(spark, sf_dir):
     scale); a missing watermark would silently accumulate state."""
     s = stream_tumbling_counts(events_stream(spark, sf_dir))
     assert "watermark" in s._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream attribution join must emit
+    exactly the batch inner join's pairs (availableNow drain)."""
+    from pyspark.sql import functions as F
+
+    from museum_image_etl_gridfs_spark.catalog import load
+    from museum_image_etl_gridfs_spark.streaming import (
+        events_stream,
+        run_to_memory,
+        stream_click_purchase_joins,
+    )
+
+    got = run_to_memory(
+        stream_click_purchase_joins(events_stream(spark, sf_dir)),
+        "t_ss_join_tbl",
+        output_mode="append",
+    ).collect()
+
+    ev = load(spark, "events", sf_dir)
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = (
+        a.join(
+            b,
+            F.expr(
+                "c_user = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + interval 30 minutes"
+            ),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long"))
+            .alias("lag_s"),
+        )
+        .collect()
+    )
+    key = lambda r: (r["user_id"], r["click_id"], r["purchase_id"], r["lag_s"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0
