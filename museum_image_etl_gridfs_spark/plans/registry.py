@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "museum_image_etl_gridfs_spark.plans.queries_joins",
     "museum_image_etl_gridfs_spark.plans.queries_olap",
     "museum_image_etl_gridfs_spark.plans.queries_tpch_extra",
+    "museum_image_etl_gridfs_spark.plans.queries_tpch_close",
     "museum_image_etl_gridfs_spark.plans.queries_traindata",
     "museum_image_etl_gridfs_spark.plans.queries_quality",
 )

@@ -194,3 +194,35 @@ def test_scd2_single_exchange(spark, sf_dir):
 
     plan = _plan(QUERIES["scd2_customer_versions"].build(spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1, plan
+
+
+def test_min_cost_supplier_single_fact_exchange(spark, sf_dir):
+    """Q2 shape: the explicit repartition(l_partkey) must satisfy BOTH
+    the (partkey, suppkey) aggregate and the partkey window — exactly
+    one shuffle Exchange; every dimension arrives via broadcast."""
+    import re
+
+    plan = _plan(QUERIES["min_cost_supplier"].build(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_market_share_only_fact_join_shuffles(spark, sf_dir):
+    """Q8 shape: part/supplier/nation/region/customer all broadcast;
+    any sort-merge join may only be the lineitem⋈orders orderkey pair."""
+    plan = _plan(QUERIES["nation_market_share"].build(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            for dim_key in ("p_partkey", "s_suppkey", "n_nationkey", "c_custkey"):
+                assert dim_key not in line, line
+
+
+def test_promo_ratio_pushes_month_filter(spark, sf_dir):
+    """Q14 shape: the one-month shipdate range must reach the parquet
+    scan as pushed filters (row-group pruning does the heavy lifting
+    at scale), and part must broadcast."""
+    plan = _plan(QUERIES["promo_revenue_ratio"].build(spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed and "LessThan(l_shipdate" in pushed
+    assert "BroadcastHashJoin" in plan
