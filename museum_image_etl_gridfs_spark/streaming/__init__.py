@@ -12,6 +12,7 @@ face of a batch query in plans/queries_events.py, with
 from .events import (  # noqa: F401
     events_stream,
     stream_click_purchase_joins,
+    run_foreach_batch_upsert,
     run_to_memory,
     run_to_parquet,
     stream_dedup_within_watermark,

@@ -18,8 +18,9 @@ Spark's vectorized reader rejects; like ``catalog.load`` we read it
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: schema of events.parquet with ts as raw int64 nanos (nanosAsLong)
@@ -329,3 +330,71 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream.sparkSession.table(name)
+
+
+def run_foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    *,
+    order_by: Sequence[str] = ("ts",),
+) -> None:
+    """Continuously MERGE a stream into a keyed table: the standard
+    ``foreachBatch`` CDC-apply pattern (streaming ingest feeding a
+    maintained dimension/state table).
+
+    Per micro-batch:
+    1. collapse the batch to one row per key — LAST writer wins,
+       ordered by ``order_by`` descending with the key as tiebreak
+       (deterministic, unlike ``dropDuplicates``);
+    2. ``merge_upsert`` it into the current table snapshot (one
+       shuffle on the keys, or none when the batch broadcasts);
+    3. rewrite the snapshot. ``localCheckpoint`` first: it cuts the
+       lineage back to materialized blocks so the overwrite isn't
+       reading the same path it's replacing.
+
+    The checkpoint makes the whole thing exactly-once at the batch
+    level: re-running against a drained source applies nothing.
+
+    Scale posture: step 3 is the parquet stand-in for a transactional
+    MERGE commit — on Delta/Iceberg the same ``_apply`` body calls the
+    table's MERGE and steps 2-3 collapse into a metadata commit
+    touching only matched files; the per-batch join cost is bounded by
+    the batch size, not the table size, once the table is bucketed or
+    clustered on the keys.
+    """
+    spark = stream.sparkSession
+    key_list = list(keys)
+    order_desc = [F.col(c).desc() for c in order_by] + [
+        F.col(k).asc() for k in key_list
+    ]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*key_list).orderBy(*order_desc)
+        updates = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.isdir(target_path):
+            from ..operators.upsert import merge_upsert
+
+            merged = merge_upsert(
+                spark.read.parquet(target_path), updates, key_list
+            )
+        else:
+            merged = updates
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -178,3 +178,42 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     key = lambda r: (r["user_id"], r["click_id"], r["purchase_id"], r["lag_s"])
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) > 0
+
+
+def test_foreach_batch_upsert_last_writer_wins(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE sink: the maintained table holds exactly one
+    row per user — the latest event by (ts, event_id) — and a rerun
+    against the drained source changes nothing (exactly-once)."""
+    from museum_image_etl_gridfs_spark.streaming import run_foreach_batch_upsert
+
+    out = str(tmp_path / "user_state")
+    ckpt = str(tmp_path / "ckpt_upsert")
+    run_foreach_batch_upsert(
+        events_stream(spark, sf_dir),
+        out,
+        keys=["user_id"],
+        checkpoint=ckpt,
+        order_by=["ts", "event_id"],
+    )
+    got = spark.read.parquet(out)
+    ev = load(spark, "events", sf_dir)
+    w_latest = F.struct(F.col("ts"), F.col("event_id")).alias("__k")
+    want = (
+        ev.withColumn("__k", w_latest)
+        .groupBy("user_id")
+        .agg(F.max("__k").alias("m"))
+        .select("user_id", F.col("m.ts").alias("ts"), F.col("m.event_id").alias("event_id"))
+    )
+    joined = got.select("user_id", "ts", "event_id").exceptAll(want)
+    assert joined.count() == 0
+    assert got.count() == ev.select("user_id").distinct().count()
+    before = sorted(map(tuple, got.collect()))
+    run_foreach_batch_upsert(
+        events_stream(spark, sf_dir),
+        out,
+        keys=["user_id"],
+        checkpoint=ckpt,
+        order_by=["ts", "event_id"],
+    )
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after == before
