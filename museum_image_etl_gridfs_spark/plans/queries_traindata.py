@@ -115,3 +115,55 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = spark.sparkContext.defaultParallelism
     return docs.repartition(n, "doc_id").select("doc_id", fp.alias("fp"))
+
+
+#: DuckDB mirror of operators/shards.py::shard_key for doc_id, salt v1:
+#: first-8-hex md5 of 'doc_id:v1' folded to a BIGINT by hex digits.
+_SQL_SHARD_POS = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(regexp_split_to_array("
+    "substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8), ''), "
+    "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+    "(h, c) -> h * 16 + c)"
+)
+
+
+@query(
+    "training_shards",
+    oracle=f"""
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(shard_pos) AS first_pos,
+           MAX(shard_pos) AS last_pos,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+    FROM (
+        SELECT CAST({_SQL_SHARD_POS} % 16 AS INTEGER) AS shard,
+               {_SQL_SHARD_POS} AS shard_pos,
+               n_chars
+        FROM documents
+    )
+    GROUP BY shard
+    """,
+    tags=("traindata", "layout", "extension"),
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-shard training layout over ``documents`` —
+    per-shard row counts, hash-position range, and payload size.
+    The shard/position assignment (operators/shards.py) is a narrow
+    md5 projection: reproducible across engines (this oracle
+    recomputes it in DuckDB digit-by-digit), uniform across shards,
+    and free of any global sort. See write_training_shards for the
+    clustered partitioned write."""
+    from ..operators.shards import assign_shards
+
+    docs = load(spark, "documents", sf_dir)
+    return (
+        assign_shards(docs, "doc_id", 16, salt="v1")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("shard_pos").alias("first_pos"),
+            F.max("shard_pos").alias("last_pos"),
+            F.sum("n_chars").alias("shard_chars"),
+        )
+    )
