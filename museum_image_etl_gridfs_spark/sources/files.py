@@ -68,6 +68,23 @@ def read_csv(
     )
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (native vectorized reader/writer, zlib default) — the
+    interchange format for Hive-ecosystem consumers; preserves the
+    full type system (dates, decimals, nested), unlike JSON/CSV."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Read ORC; schema optional because ORC files embed one (reading
+    a directory still benefits from an explicit schema to pin
+    evolution drift across files)."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
 def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) of a parquet directory — the
     quantity compaction monitors."""

@@ -79,3 +79,27 @@ def test_compaction_is_shuffle_free(spark, sf_dir, tmp_path):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_orc_round_trip_preserves_schema_and_rows(spark, sf_dir, tmp_path):
+    from museum_image_etl_gridfs_spark.sources.files import read_orc, write_orc
+
+    li = load(spark, "lineitem", sf_dir).limit(500)
+    path = str(tmp_path / "orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.schema == li.schema  # ORC embeds the full type system
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+
+
+def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+    from museum_image_etl_gridfs_spark.sources.files import read_orc, write_orc
+
+    li = load(spark, "lineitem", sf_dir)
+    path = str(tmp_path / "orc_pd")
+    write_orc(li, path)
+    df = read_orc(spark, path).filter(F.col("l_quantity") > 25).select("l_orderkey")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]

@@ -226,3 +226,13 @@ def test_promo_ratio_pushes_month_filter(spark, sf_dir):
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "GreaterThanOrEqual(l_shipdate" in pushed and "LessThan(l_shipdate" in pushed
     assert "BroadcastHashJoin" in plan
+
+
+def test_doc_chunks_zero_exchange(spark, sf_dir):
+    """Chunking is narrow end-to-end: sequence→explode→substring must
+    introduce no shuffle (and no Python eval)."""
+    import re
+
+    plan = _plan(QUERIES["doc_chunks"].build(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
