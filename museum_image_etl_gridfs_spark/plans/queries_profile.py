@@ -1,0 +1,140 @@
+"""Data-profiling queries: the ANALYZE/data-quality surface a
+training-data pipeline runs before trusting a new drop of data.
+
+Both are single-pass aggregates — at 100 TB a profile that scans the
+table once per column is 6 scans too many; these compute every
+per-column statistic in ONE aggregate (multi-distinct goes through
+Spark's Expand, still one scan) and reshape to rows afterwards with
+``stack`` (a narrow Generate, no extra shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+# (column, expression that renders min/max as a cross-engine-stable
+# string: timestamps/ints cast directly, doubles through DECIMAL)
+_PROFILE_COLS = ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "table_profile",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(o_orderkey) AS null_o_orderkey,
+               COUNT(DISTINCT o_orderkey) AS dist_o_orderkey,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_o_orderkey,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_o_orderkey,
+               COUNT(*) - COUNT(o_orderstatus) AS null_o_orderstatus,
+               COUNT(DISTINCT o_orderstatus) AS dist_o_orderstatus,
+               CAST(MIN(o_orderstatus) AS VARCHAR) AS min_o_orderstatus,
+               CAST(MAX(o_orderstatus) AS VARCHAR) AS max_o_orderstatus,
+               COUNT(*) - COUNT(o_totalprice) AS null_o_totalprice,
+               COUNT(DISTINCT o_totalprice) AS dist_o_totalprice,
+               CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+                   AS min_o_totalprice,
+               CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+                   AS max_o_totalprice,
+               COUNT(*) - COUNT(o_orderpriority) AS null_o_orderpriority,
+               COUNT(DISTINCT o_orderpriority) AS dist_o_orderpriority,
+               CAST(MIN(o_orderpriority) AS VARCHAR) AS min_o_orderpriority,
+               CAST(MAX(o_orderpriority) AS VARCHAR) AS max_o_orderpriority
+        FROM orders
+    )
+    SELECT col,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_value, max_value
+    FROM (
+        SELECT n_rows, 'o_orderkey' AS col, null_o_orderkey AS n_null,
+               dist_o_orderkey AS n_distinct, min_o_orderkey AS min_value,
+               max_o_orderkey AS max_value FROM s
+        UNION ALL
+        SELECT n_rows, 'o_orderstatus', null_o_orderstatus,
+               dist_o_orderstatus, min_o_orderstatus, max_o_orderstatus FROM s
+        UNION ALL
+        SELECT n_rows, 'o_totalprice', null_o_totalprice,
+               dist_o_totalprice, min_o_totalprice, max_o_totalprice FROM s
+        UNION ALL
+        SELECT n_rows, 'o_orderpriority', null_o_orderpriority,
+               dist_o_orderpriority, min_o_orderpriority,
+               max_o_orderpriority FROM s
+    )
+    """,
+    tags=("profile", "agg"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders`` in ONE scan: rows, nulls,
+    exact distincts, min/max (stringified for a uniform report
+    schema; doubles through DECIMAL so both engines print the same
+    text). The multi-column COUNT(DISTINCT) batch plans as a single
+    Expand-based aggregate — one shuffle, not one per column — and
+    the wide→long reshape is ``stack``, a narrow Generate."""
+    o = load(spark, "orders", sf_dir)
+
+    def _stats(c: str) -> list:
+        mn, mx = F.min(c), F.max(c)
+        if c == "o_totalprice":
+            mn = mn.cast("decimal(18,2)")
+            mx = mx.cast("decimal(18,2)")
+        return [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+            mn.cast("string").alias(f"min_{c}"),
+            mx.cast("string").alias(f"max_{c}"),
+        ]
+
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[s for c in _PROFILE_COLS for s in _stats(c)],
+    )
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col, n_null, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select("col", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 30000.0), 0), 19)
+                AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS lo,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+    tags=("profile", "histogram", "agg"),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: 20 buckets of 30k over
+    [0, 600k), top bucket clamped (width_bucket semantics, spelled
+    with FLOOR arithmetic because DuckDB has no width_bucket — the
+    identical IEEE double ops on both engines make the bucket ids
+    bit-stable). One map-side-combined aggregate; 20 output rows."""
+    o = load(spark, "orders", sf_dir)
+    bucket = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - 0.0) / 30000.0), F.lit(0)),
+        F.lit(19),
+    ).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("decimal(18,2)").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("decimal(18,2)").cast("double").alias("hi"),
+        )
+    )

@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "museum_image_etl_gridfs_spark.plans.queries_tpch_close",
     "museum_image_etl_gridfs_spark.plans.queries_traindata",
     "museum_image_etl_gridfs_spark.plans.queries_quality",
+    "museum_image_etl_gridfs_spark.plans.queries_profile",
 )
 
 
