@@ -72,8 +72,60 @@ def query(
     return deco
 
 
+#: queries with a green driver CORRECTNESS row in round 1. The driver
+#: verifies a prefix of the registry, so these go last: re-verifying
+#: them repeatedly would leave newer queries permanently unchecked.
+_VERIFIED_R01 = frozenset(
+    {
+        "flagship_dup_groups", "pricing_summary", "dedup_keep_first_orders",
+        "top_orders", "customer_order_stats", "revenue_by_nation",
+        "shipping_priority", "region_nation_rollup", "lineitem_cube",
+        "distinct_segments", "customers_no_recent_orders",
+        "segments_with_big_orders", "nation_roles_union",
+        "rich_customer_nations_except", "top_parts_per_brand",
+        "running_customer_spend", "order_gap_days", "split_distribution",
+        "split_assignment", "project_rename_filename", "museum_pipeline",
+        "na_standardize_three_way", "incremental_pending", "ingest_head",
+        "gridfs_chunk_plan", "gridfs_roundtrip", "text_stats", "text_quality",
+        "lang_id", "token_length_histogram", "doc_chunks", "exact_dedup_stats",
+        "ngram_jaccard_pairs", "minhash_near_dups", "simhash_fingerprints",
+        "near_dup_clusters", "cosine_topk", "l2_nearest",
+        "embedding_norm_stats", "lsh_bucketed_ann", "ivf_topk_ann",
+        "events_tumbling_1h", "events_sliding_1h_30m", "user_sessions",
+        "event_props_extract", "stream_tumbling_1h", "stream_user_totals",
+        "stream_expired_sessions", "events_dedup_rerun",
+        "stream_attribution_pairs",
+    }
+)
+
+#: round-1 greens deliberately re-pinned in the verified prefix as
+#: regression sentinels.
+_SENTINELS = ("flagship_dup_groups",)
+
+
+def _priority(q: Query) -> int:
+    """Sort key placing driver-unverified queries in the checked prefix.
+
+    0: never driver-verified, oracle-backed (strongest new signal)
+    1: sentinel re-checks from round 1
+    2: never driver-verified, rows-only (golden-file tests cover these)
+    3: already verified in round 1
+    """
+    if q.name in _SENTINELS:
+        return 1
+    if q.name not in _VERIFIED_R01:
+        return 0 if q.oracle is not None else 2
+    return 3
+
+
 def all_queries() -> dict[str, Query]:
-    """Import all query modules and return the full registry."""
+    """Import all query modules and return the full registry.
+
+    Ordered so the driver's prefix-limited correctness pass spends its
+    budget on queries without a prior green row (registration order is
+    preserved within each priority band).
+    """
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return dict(_REGISTRY)
+    ordered = sorted(_REGISTRY.values(), key=lambda q: (_priority(q), 0))
+    return {q.name: q for q in ordered}
