@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from ..partitioning import spread
 
 
 def assign_cells(
@@ -43,8 +44,6 @@ def assign_cells(
     centroid, computed via a broadcast join + per-row window min —
     the corpus is touched once, no shuffle for assignment itself.
     """
-    spark = emb.sparkSession
-    n = spark.sparkContext.defaultParallelism
     centroids = (
         emb.orderBy(id_col)
         .limit(k_cells)
@@ -53,7 +52,7 @@ def assign_cells(
         )
     )
     scored = (
-        emb.repartition(n, id_col)
+        spread(emb, id_col)
         .join(F.broadcast(centroids))
         .select(
             id_col,

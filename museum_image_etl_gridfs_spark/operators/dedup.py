@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..partitioning import spread
+
 
 def duplicate_groups(
     df: DataFrame, keys: Sequence[str], min_count: int = 2
@@ -233,21 +235,19 @@ def minhash_near_duplicates(
     the bucket groupBy; candidate pairs are band-local so cost tracks
     true-duplicate density, not n^2.
 
-    The explicit ``repartition`` exists because sketching is
-    CPU-bound, not IO-bound: parallelism must track cores, not input
-    bytes. A small input (one parquet row group) otherwise runs the
-    whole sketch computation on a single core — and AQE won't help,
-    since it coalesces by byte size. At 100 TB the scan's own splits
-    provide the parallelism and this repartition is a cheap shuffle
-    of (id, text).
+    Sketching is CPU-bound, not IO-bound: parallelism must track
+    cores, not input bytes. A small input (one parquet row group)
+    would otherwise run the whole sketch on a single core — and AQE
+    won't help, since it coalesces by byte size. ``spread`` adds the
+    exchange ONLY in that under-split case; at 100 TB the scan's own
+    splits provide the parallelism and no shuffle of (id, text) is
+    emitted at all.
     """
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
-    if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism
 
-    src = df.repartition(num_partitions, F.col(id_col)).select(
+    src = spread(df, id_col, target=num_partitions).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
     fn, schema = _minhash_band_rows(

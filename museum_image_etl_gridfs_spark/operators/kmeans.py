@@ -35,6 +35,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import spread
+
 
 def _partials(centroids: np.ndarray, vec_col: str):
     """Per-batch partial (cluster, count, sum) rows for one iteration."""
@@ -140,10 +142,9 @@ def kmeans_assign(
             )
 
     id_type = emb.schema[id_col].dataType.simpleString()
-    n = emb.sparkSession.sparkContext.defaultParallelism
     return (
-        emb.select(id_col, vec_col)
-        .repartition(n, id_col)  # single-row-group fixtures -> spread cores
+        # single-row-group fixtures -> spread cores; no-op on wide scans
+        spread(emb.select(id_col, vec_col), id_col)
         .mapInPandas(run, f"id {id_type}, cluster int, sq_dist double")
         .withColumnRenamed("id", id_col)
     )

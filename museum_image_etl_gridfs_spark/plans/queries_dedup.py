@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.text import fingerprint
 from ..operators.dedup import minhash_near_duplicates, simhash
+from ..partitioning import spread
 from .registry import query
 
 _SQL_FINGERPRINT = "md5(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'))"
@@ -105,12 +106,12 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only check — Spark xxhash64).
 
-    Repartitioned to core count first: the 64 per-bit aggregates are
+    spread() to core count first: the 64 per-bit aggregates are
     CPU-bound interpreted HOFs, so parallelism must track cores, not
-    input bytes (same reasoning as minhash_near_duplicates)."""
+    input bytes; at scale the scan's splits suffice and no Exchange
+    is emitted (same reasoning as minhash_near_duplicates)."""
     docs = load(spark, "documents", sf_dir)
-    n = spark.sparkContext.defaultParallelism
-    return docs.repartition(n, "doc_id").select(
+    return spread(docs, "doc_id").select(
         "doc_id", simhash(F.col("text")).alias("simhash64")
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..partitioning import spread
 from ..operators.images import (
     RawCodec,
     decoded_length,
@@ -50,9 +51,8 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     proving the resize actually happened.
     """
     docs = load(spark, "documents", sf_dir).select("doc_id")
-    n = spark.sparkContext.defaultParallelism
     imgs = synthesize_images(
-        docs.repartition(n, "doc_id"), "doc_id", width=_SRC_W, height=_SRC_H
+        spread(docs, "doc_id"), "doc_id", width=_SRC_W, height=_SRC_H
     )
     transformed = transform_images(imgs, "image", size=(_DST_W, _DST_H), codec=RawCodec)
     feats = image_features(
@@ -98,9 +98,8 @@ def image_etl_gridfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.gridfs import GRIDFS_CHUNK_SIZE, chunk_binary, file_descriptors
 
     docs = load(spark, "documents", sf_dir).select("doc_id")
-    n = spark.sparkContext.defaultParallelism
     imgs = synthesize_images(
-        docs.repartition(n, "doc_id"), "doc_id", width=_SRC_W, height=_SRC_H
+        spread(docs, "doc_id"), "doc_id", width=_SRC_W, height=_SRC_H
     )
     transformed = transform_images(imgs, "image", size=(224, 224), codec=RawCodec)
     blobs = transformed.select(
@@ -151,9 +150,8 @@ def audio_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.audio import audio_features, resample_audio, synthesize_audio
 
     docs = load(spark, "documents", sf_dir).select("doc_id")
-    n = spark.sparkContext.defaultParallelism
     clips = synthesize_audio(
-        docs.repartition(n, "doc_id"), "doc_id", sample_rate=8000, n_samples=800
+        spread(docs, "doc_id"), "doc_id", sample_rate=8000, n_samples=800
     )
     out = resample_audio(clips, dst_rate=2000)
     feats = audio_features(
@@ -191,9 +189,8 @@ def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.video import sample_frames, synthesize_video, video_features
 
     docs = load(spark, "documents", sf_dir).select("doc_id")
-    n = spark.sparkContext.defaultParallelism
     clips = synthesize_video(
-        docs.repartition(n, "doc_id"), "doc_id", fps=10, n_frames=20
+        spread(docs, "doc_id"), "doc_id", fps=10, n_frames=20
     )
     sampled = sample_frames(clips, every=5)
     feats = video_features(

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import quality as Q
+from ..partitioning import spread
 from .registry import query
 
 # ---------------------------------------------------------------- SQL mirrors
@@ -105,22 +106,20 @@ def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero shuffle and zero Python. The verdict compares the
     ROUNDED signals so the boolean is bit-stable across engines.
     """
-    # words materialize behind an Exchange before any HOF touches them:
-    # interpreted lambdas get no subexpression elimination, so an
-    # inline words expression would re-run split() per element_at call
-    # in every signal (and the barrier also spreads the single-row-
-    # group scan across cores — 45s -> 0.6s at sf0.1). Second barrier
-    # keeps CollapseProject from folding each signal into the verdict
-    # boolean and computing it twice.
-    par = spark.sparkContext.defaultParallelism
-    docs = load(spark, "documents", sf_dir)
+    # spread() the one-row-group fixture scan across cores before the
+    # CPU-bound interpreted-HOF stage (45s -> 0.6s at sf0.1); at scale
+    # the scan's own splits suffice and no Exchange is emitted.
+    # CollapseProject duplication is NOT a concern: Spark's cheap-alias
+    # check refuses to inline a non-trivial alias referenced more than
+    # once, so `w` and each signal stay computed exactly once.
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
     wdf = docs.select(
         "doc_id",
         Q.words("text").alias("w"),
         F.length(
             F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", "")
         ).alias("solid"),
-    ).repartition(par, "doc_id")
+    )
     w = F.col("w")
     n = F.size(w)
     mwl = F.round(
@@ -134,7 +133,7 @@ def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.stopword_hits(w).cast("int").alias("stop_hits"),
         F.round(Q.dup_ngram_fraction(w, 2), 4).alias("dup_bigram_frac"),
         F.round(Q.dup_ngram_fraction(w, 3), 4).alias("dup_trigram_frac"),
-    ).repartition(par, "doc_id")
+    )
     return out.withColumn(
         "quality_pass",
         (F.col("n_words") >= 10) & (F.col("n_words") <= 100000)
@@ -229,41 +228,48 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it is explicitly ``broadcast()`` — the 100 TB side is scanned
     once, joined map-side with zero shuffle of the corpus, and
     aggregated with map-side partial combine on (doc_id).
+
+    The shingling itself is one Arrow-batched mapInPandas stage
+    (vectorized split + set per doc — the same pattern that took the
+    MinHash sketch from 22s to 1.4s) emitting exploded, per-doc
+    DISTINCT ``(doc_id, g)`` bigram rows. The ``%97`` eval/train split
+    is applied BELOW the Python stage, so each branch gets its own
+    pushed-down parquet filter and every document is shingled exactly
+    once — no shared stage to recompute, no Exchange-reuse barrier
+    needed.
     """
-    # Two load-bearing Exchange barriers. (1) after the word split:
-    # interpreted HOF lambdas get NO subexpression elimination, so an
-    # inline words expression is re-split per element_at call inside
-    # the n-gram transform (~4x); (2) after the shingle arrays: without
-    # it CollapseProject folds the HOF chain into the Generate and the
-    # per-doc work is repeated per EXPLODED row (~20x). Both exchanges
-    # also spread the single-row-group fixture scan across cores.
-    n = spark.sparkContext.defaultParallelism
-    docs = load(spark, "documents", sf_dir)
-    wdf = docs.select(
-        "doc_id", Q.words(F.lower(F.col("text"))).alias("w")
-    ).repartition(n, "doc_id")
-    s = wdf.select(
-        "doc_id", F.array_distinct(Q.word_ngrams(F.col("w"), 2)).alias("sh")
-    ).repartition(n, "doc_id")
-    # explode_outer, NOT explode: InferFiltersFromGenerate synthesizes
-    # a size(sh) > 0 predicate from a plain explode, and pushdown then
-    # inlines the ENTIRE shingle HOF chain into a scan-side filter
-    # (re-evaluated per row, single partition — 7s at sf0.1). The rule
-    # skips outer generates; the g IS NOT NULL post-filter restores
-    # exact explode semantics for pennies.
+    src = load(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def bigrams_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = "" if text is None else text.strip().lower()
+                ws = t.split()
+                if len(ws) < 2:
+                    continue  # unnest([]) semantics: no rows
+                sh = dict.fromkeys(
+                    ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)
+                )
+                ids.extend([doc_id] * len(sh))
+                grams.extend(sh)
+            yield pd.DataFrame({"doc_id": ids, "g": grams})
+
+    schema = "doc_id bigint, g string"
     ev = (
-        s.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode_outer("sh").alias("g"))
-        .filter(F.col("g").isNotNull())
+        spread(src.filter(F.col("doc_id") % 97 == 0), "doc_id")
+        .mapInPandas(bigrams_fn, schema)
+        .select("g")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    # shingles are distinct per doc, so n_shingles == count(*) in the
-    # post-join aggregate — no size() carried through the explode
-    tr = (
-        s.filter(F.col("doc_id") % 97 != 0)
-        .select("doc_id", F.explode_outer("sh").alias("g"))
-        .filter(F.col("g").isNotNull())
+    # per-doc shingles are emitted distinct, so n_shingles == count(*)
+    # in the post-join aggregate
+    tr = spread(src.filter(F.col("doc_id") % 97 != 0), "doc_id").mapInPandas(
+        bigrams_fn, schema
     )
     agg = (
         tr.join(F.broadcast(ev), "g", "left")
@@ -405,24 +411,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln((N+1)/(df+1)) + 1, sklearn's formulation) with a deterministic
     (score desc, term asc) tiebreak.
 
-    Plan shape at scale: one explode, then BOTH aggregations
-    (per-doc tf, per-term df) get map-side partial combine; the
-    tf⋈df join shuffles on term once; corpus size N arrives as a
-    1-row broadcast cross join, not a collected driver constant.
+    Plan shape at scale: one explode consumed ONCE — per-term df is
+    derived from the per-doc tf aggregate (``count(*)`` over
+    ``(doc_id, term)`` rows ≡ ``count(DISTINCT doc_id)``), so the
+    word-split stage needs no materialization barrier; both
+    aggregations get map-side partial combine; the tf⋈df join
+    shuffles on term once; corpus size N arrives as a 1-row broadcast
+    cross join, not a collected driver constant.
     """
-    par = spark.sparkContext.defaultParallelism
-    docs = load(spark, "documents", sf_dir)
-    # barrier + explode_outer: see eval_contamination — keeps the word
-    # split out of scan-side inferred filters and off the 1-partition scan
-    wdf = docs.select(
-        "doc_id", Q.words(F.lower(F.col("text"))).alias("w")
-    ).repartition(par, "doc_id")
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    # explode_outer: see the InferFiltersFromGenerate note in
+    # near-dup queries — keeps the word split out of scan-side
+    # inferred filters
+    wdf = docs.select("doc_id", Q.words(F.lower(F.col("text"))).alias("w"))
     t = (
         wdf.select("doc_id", F.explode_outer("w").alias("term"))
         .filter(F.col("term").isNotNull())
     )
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.groupBy().agg(F.count("*").alias("n"))
     s = (
         tf.join(df, "term")
@@ -544,11 +551,13 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl arrive via one broadcast scalar; the tf⋈df join broadcasts
     the |terms|-row df side.
     """
-    par = spark.sparkContext.defaultParallelism
-    docs = load(spark, "documents", sf_dir)
-    wdf = docs.select(
-        "doc_id", Q.words(F.lower(F.col("text"))).alias("w")
-    ).repartition(par, "doc_id")
+    # t is consumed by two aggregations (dl over all terms, tf over
+    # query terms). On fixtures spread()'s Exchange is reused across
+    # both; at scale the Exchange disappears and each branch re-reads
+    # its own pruned scan — two narrow scans beat one full-text
+    # shuffle there.
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    wdf = docs.select("doc_id", Q.words(F.lower(F.col("text"))).alias("w"))
     t = (
         wdf.select("doc_id", F.explode_outer("w").alias("term"))
         .filter(F.col("term").isNotNull())
@@ -562,7 +571,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     s = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..partitioning import spread
 from .registry import query
 
 _COS_THRESHOLD = 0.4
@@ -113,8 +114,7 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(7).cast("long"),
         lambda h, c: (h * 31 + F.ascii(c)) % F.lit(_ROLL_P),
     )
-    n = spark.sparkContext.defaultParallelism
-    return docs.repartition(n, "doc_id").select("doc_id", fp.alias("fp"))
+    return spread(docs, "doc_id").select("doc_id", fp.alias("fp"))
 
 
 #: DuckDB mirror of operators/shards.py::shard_key for doc_id, salt v1:

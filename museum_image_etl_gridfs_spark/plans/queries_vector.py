@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.vectors import cosine, l2_distance, norm
+from ..partitioning import spread
 from .registry import query
 
 _N_QUERIES = 3
@@ -49,9 +50,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # scoring is CPU-bound interpreted-HOF work: spread to cores (a
     # one-row-group scan would otherwise score on a single thread)
-    n_parts = spark.sparkContext.defaultParallelism
     scored = (
-        emb.repartition(n_parts, "vec_id")
+        spread(emb, "vec_id")
         .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -92,8 +92,7 @@ def l2_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    n_parts = spark.sparkContext.defaultParallelism
-    scored = emb.repartition(n_parts, "vec_id").join(
+    scored = spread(emb, "vec_id").join(
         F.broadcast(q), F.col("vec_id") != F.col("qid")
     ).select(
         "qid",
