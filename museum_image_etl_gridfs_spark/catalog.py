@@ -37,13 +37,36 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-tz TIMESTAMP regardless of
+    how the fixture was written.
+
+    The driver's fixtures have shipped two physical layouts so far:
+    TIMESTAMP(NANOS) — which the vectorized reader only accepts as raw
+    int64 via ``nanosAsLong`` — and TIMESTAMP(MICROS) with
+    ``isAdjustedToUTC=false``, which surfaces as TIMESTAMP_NTZ. Both
+    batch (:func:`load`) and streaming (``streaming.events_stream``)
+    paths share this one function so they cannot diverge again.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # raw nanos: `ts div 1000` is exact long division; `ts / 1000`
+        # would round through a double (1 µs off near .9995 boundaries)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # session tz is pinned to UTC (session.py), so NTZ→TIMESTAMP
+        # is a pure type change with identical instants
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Lazy Parquet scan of one fixture table.
 
-    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which the
-    Spark vectorized reader rejects; we read it as raw int64
-    (``nanosAsLong``) and convert to a microsecond timestamp —
-    integer division truncates exactly like DuckDB's ns→us cast.
+    ``events.ts`` physical type varies by fixture generation; see
+    :func:`normalize_events_ts`.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -51,14 +74,7 @@ def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            # `ts div 1000` is exact long division; `ts / 1000` would
-            # round through a double (1 µs off near .9995 boundaries)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -98,9 +98,19 @@ _VERIFIED_R01 = frozenset(
     }
 )
 
-#: round-1 greens deliberately re-pinned in the verified prefix as
-#: regression sentinels.
-_SENTINELS = ("flagship_dup_groups",)
+#: prior-round greens deliberately re-pinned in the verified prefix as
+#: regression sentinels — one per fixture-sensitive table family
+#: (lineitem/orders core, events batch, events streaming, documents,
+#: embeddings), so a driver fixture change (e.g. the round-2 events
+#: NANOS→MICROS/NTZ rewrite) flips a CORRECTNESS row red instead of
+#: only surfacing as a bench crash.
+_SENTINELS = (
+    "flagship_dup_groups",
+    "user_sessions",
+    "stream_tumbling_1h",
+    "quality_flags",
+    "cosine_topk",
+)
 
 
 def _priority(q: Query) -> int:

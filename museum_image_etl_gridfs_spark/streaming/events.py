@@ -10,9 +10,9 @@ Design notes (scale posture):
   ``applyInPandasWithState`` — Spark's escape hatch for semantics the
   built-in windows can't express (SURVEY.md §2.9).
 
-The driver's ``events.parquet`` is written as TIMESTAMP(NANOS), which
-Spark's vectorized reader rejects; like ``catalog.load`` we read it
-``nanosAsLong`` and convert to microseconds.
+``events.ts``'s physical parquet type varies by fixture generation
+(NANOS vs MICROS/NTZ); both the batch and this streaming reader go
+through ``catalog.normalize_events_ts`` so they cannot diverge.
 """
 
 from __future__ import annotations
@@ -23,27 +23,29 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-#: schema of events.parquet with ts as raw int64 nanos (nanosAsLong)
-_EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+from ..catalog import normalize_events_ts
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet with ts normalized to a
-    microsecond timestamp — the streaming twin of ``catalog.load``."""
+    session-tz timestamp — the streaming twin of ``catalog.load``.
+
+    The file source requires an explicit schema; rather than hardcode
+    one physical layout, probe it with a batch scan (footer read only)
+    and reuse the batch normalizer on the streaming DataFrame.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    probed = spark.read.parquet(path).schema
     # the file source requires a directory: stream the sf_dir with a
     # glob filter rather than the single parquet file
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(probed)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # exact long division (a double `/ 1000` rounds up near .9995)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def stream_tumbling_counts(
