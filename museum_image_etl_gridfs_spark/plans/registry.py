@@ -98,6 +98,38 @@ _VERIFIED_R01 = frozenset(
     }
 )
 
+#: queries with a green driver CORRECTNESS row in round 2 (the driver
+#: checked a disjoint 50-query prefix by design; union with r1 below).
+_VERIFIED_R02 = frozenset(
+    {
+        "asof_prev_order_price", "audio_resample_plan", "bm25_scores",
+        "bpe_token_stats", "cross_nation_trade",
+        "customer_order_distribution", "disjunctive_bracket_revenue",
+        "embedding_near_dup_pairs", "eval_contamination",
+        "excess_supply_candidates", "flagship_dup_groups",
+        "forecast_revenue_change", "idle_customer_balance",
+        "image_etl_gridfs", "important_part_values",
+        "large_order_customers", "late_shipment_priority",
+        "min_cost_supplier", "monthly_revenue_trend",
+        "multimodal_transform", "nation_market_share",
+        "pii_redaction_stats", "price_histogram", "price_percentiles",
+        "price_quantity_stats", "priority_exists_counts",
+        "product_type_profit", "promo_revenue_ratio", "quality_flags",
+        "quantity_tier_revenue", "returned_item_report",
+        "returnflag_pivot", "rolling_fingerprints",
+        "salted_order_counts", "scd2_customer_versions",
+        "small_quantity_revenue", "sole_return_suppliers",
+        "source_mixture_epoch", "stratified_sample",
+        "supplier_rank_board", "supplier_variety", "table_profile",
+        "tfidf_top_terms", "token_budget_packing",
+        "top_balances_per_nation", "top_revenue_supplier",
+        "training_shards", "upsert_transform_markers",
+        "video_frame_sample_plan", "zorder_layout_stats",
+    }
+)
+
+_VERIFIED = _VERIFIED_R01 | _VERIFIED_R02
+
 #: prior-round greens deliberately re-pinned in the verified prefix as
 #: regression sentinels — one per fixture-sensitive table family
 #: (lineitem/orders core, events batch, events streaming, documents,
@@ -116,15 +148,17 @@ _SENTINELS = (
 def _priority(q: Query) -> int:
     """Sort key placing driver-unverified queries in the checked prefix.
 
-    0: never driver-verified, oracle-backed (strongest new signal)
-    1: sentinel re-checks from round 1
-    2: never driver-verified, rows-only (golden-file tests cover these)
-    3: already verified in round 1
+    0: never driver-verified in any round (r1 ∪ r2)
+    1: sentinel re-checks — one per fixture-sensitive family
+    2: r1 rows-only checks never re-run (golden files also cover these)
+    3: already verified in round 1 or 2
     """
+    if q.name not in _VERIFIED:
+        return 0
     if q.name in _SENTINELS:
         return 1
-    if q.name not in _VERIFIED_R01:
-        return 0 if q.oracle is not None else 2
+    if q.oracle is None and q.name not in _VERIFIED_R02:
+        return 2
     return 3
 
 

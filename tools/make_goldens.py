@@ -33,6 +33,24 @@ GOLDENS = {
     "text_stats": ["doc_id"],
 }
 
+#: FULL-result goldens at sf0.01 for the queries that have neither a
+#: DuckDB oracle (seeded hashing / iterative algorithms the SQL engine
+#: can't mirror) nor a prior driver hash-check: the driver only does a
+#: rows-only check on these, so the committed full result IS their
+#: correctness gate. All are seeded/deterministic; sort keys are unique
+#: per row so the serialized order is total.
+FULL_SF_DIR = "/root/testdata/sf0.01"
+FULL_GOLDENS = {
+    "approx_distinct_parts": ["approx_parts"],   # single row
+    "kmeans_cluster_profile": ["cluster"],
+    "semantic_dedup_keep": ["vec_id"],
+    "minhash_near_dups": ["id_a", "id_b"],
+    "simhash_fingerprints": ["doc_id"],
+    "near_dup_clusters": ["component"],
+    "lsh_bucketed_ann": ["bucket"],
+    "ivf_topk_ann": ["qid", "neighbor_id"],
+}
+
 
 def sample(df, sort_cols, n=10):
     rows = df.orderBy(*sort_cols).limit(n).collect()
@@ -43,6 +61,24 @@ def sample(df, sort_cols, n=10):
     ]
 
 
+def full(df, sort_cols):
+    """Entire result, totally ordered — floats rounded to 6 places so
+    the committed artifact is stable against summation-order noise."""
+    rows = df.orderBy(*sort_cols).collect()
+    out = []
+    for r in rows:
+        d = {}
+        for k, v in r.asDict().items():
+            if isinstance(v, float):
+                d[k] = round(v, 6)
+            elif isinstance(v, (int, bool, type(None))):
+                d[k] = v
+            else:
+                d[k] = str(v)
+        out.append(d)
+    return out
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     spark = get_spark("goldens")
@@ -50,6 +86,13 @@ def main() -> None:
     for name, sort_cols in GOLDENS.items():
         data = sample(qs[name].build(spark, SF_DIR), sort_cols)
         path = os.path.join(OUT_DIR, f"{name}_sample.json")
+        with open(path, "w") as f:
+            json.dump(data, f, indent=2, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {path} ({len(data)} rows)")
+    for name, sort_cols in FULL_GOLDENS.items():
+        data = full(qs[name].build(spark, FULL_SF_DIR), sort_cols)
+        path = os.path.join(OUT_DIR, f"{name}_full.json")
         with open(path, "w") as f:
             json.dump(data, f, indent=2, sort_keys=True)
             f.write("\n")
