@@ -430,7 +430,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.groupBy().agg(F.count("*").alias("n"))
+    # N from the RAW scan, not the spread() branch — counting behind a
+    # repartition would shuffle the whole corpus just to count it
+    n = load(spark, "documents", sf_dir).groupBy().agg(F.count("*").alias("n"))
     s = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(n))
@@ -682,4 +684,68 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = semantic_dedup(emb, k=8, n_iter=5, keep_per_cluster=10)
     return kept.select(
         "vec_id", "cluster", F.round("sq_dist", 4).alias("sq_dist")
+    )
+
+
+@query(
+    "frequent_bigrams",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i+1]) END) AS sh
+        FROM (SELECT doc_id, {_SQL_WORDS_LOWER} AS w FROM documents)),
+    t AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+    d AS (SELECT g, count(*) AS df FROM t GROUP BY 1)
+    SELECT g, CAST(df AS BIGINT) AS df,
+           round(df / (SELECT CAST(count(*) AS DOUBLE) FROM documents), 4)
+               AS doc_share
+    FROM d ORDER BY df DESC, g LIMIT 40
+    """,
+    tags=("text", "heavy-hitters", "extension"),
+)
+def frequent_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-40 word bigrams by DOCUMENT frequency
+    — the boilerplate-detection primitive (C4/RefinedWeb drop lines
+    and n-grams that recur across many documents; with newline-free
+    fixture text the n-gram form is the meaningful one).
+
+    Scale shape: bigrams come from posexplode + ``lead()`` over
+    (doc_id, pos) — the window reuses the ``spread()`` hash
+    partitioning on doc_id, so there is ONE shuffle for the per-doc
+    stage, not a per-expression HOF re-split (interpreted-lambda trap,
+    NOTES.md). Per-doc DISTINCT then a map-side-combined count per
+    gram; the global top-40 is TakeOrderedAndProject (no single-
+    partition window), and corpus size N arrives as a 1-row broadcast,
+    never a driver collect.
+    """
+    from pyspark.sql import Window
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    wdf = docs.select("doc_id", Q.words(F.lower(F.col("text"))).alias("w"))
+    tok = wdf.select(
+        "doc_id", F.posexplode_outer("w").alias("pos", "word")
+    ).filter(F.col("word").isNotNull())
+    nxt = F.lead("word").over(Window.partitionBy("doc_id").orderBy("pos"))
+    grams = (
+        tok.select("doc_id", F.concat_ws(" ", F.col("word"), nxt).alias("g"), nxt.alias("__nxt"))
+        .filter(F.col("__nxt").isNotNull())
+        .select("doc_id", "g")
+        .distinct()
+    )
+    d = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # N from the RAW scan (see tfidf_top_terms): never count through
+    # the spread() Exchange
+    n = load(spark, "documents", sf_dir).groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            "g", "df",
+            F.round(F.col("df") / F.col("n").cast("double"), 4).alias("doc_share"),
+        )
+        .orderBy(F.desc("df"), F.asc("g"))
+        .limit(40)
     )
