@@ -378,3 +378,37 @@ def stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_attribution_pairs_tbl",
         output_mode="append",
     )
+
+
+@query(
+    "stream_enriched_segments",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("events", "streaming", "stream-static-join", "extension"),
+)
+def stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined to the
+    (broadcast) customer dimension, rolled up per 1-hour window x
+    market segment — the canonical streaming-ETL enrich-then-window
+    shape. availableNow drains the source, so the result equals the
+    batch join+group oracle."""
+    import uuid
+
+    from ..catalog import load as batch_load
+    from ..streaming import (
+        events_stream,
+        run_to_memory,
+        stream_enriched_segment_counts,
+    )
+
+    dim = batch_load(spark, "customer", sf_dir)
+    return run_to_memory(
+        stream_enriched_segment_counts(events_stream(spark, sf_dir), dim),
+        f"q_enriched_{uuid.uuid4().hex[:8]}",
+    )

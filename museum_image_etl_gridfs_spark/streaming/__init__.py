@@ -16,6 +16,7 @@ from .events import (  # noqa: F401
     run_to_memory,
     run_to_parquet,
     stream_dedup_within_watermark,
+    stream_enriched_segment_counts,
     stream_expiring_sessions,
     stream_session_windows,
     stream_sliding_counts,

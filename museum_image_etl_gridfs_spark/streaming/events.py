@@ -86,6 +86,36 @@ def stream_sliding_counts(
     )
 
 
+def stream_enriched_segment_counts(
+    events: DataFrame, dim: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment join → tumbling per-segment rollup.
+
+    The canonical streaming-ETL shape: an unbounded fact stream joined
+    to a bounded dimension (here customer market segment; at scale any
+    slowly-changing dim snapshot), then windowed. The static side is
+    explicitly ``broadcast()`` — a stream-static join must never
+    shuffle the stream per micro-batch, and the dim re-reads per batch
+    pick up dim updates for free. Only the stream side carries a
+    watermark; window state drops once the watermark passes."""
+    seg = F.broadcast(dim.select("c_custkey", "c_mktsegment"))
+    return (
+        events.withWatermark("ts", watermark)
+        .join(seg, events["user_id"] == seg["c_custkey"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment", "n", "sum_value",
+        )
+    )
+
+
 def stream_session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

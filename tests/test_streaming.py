@@ -217,3 +217,38 @@ def test_foreach_batch_upsert_last_writer_wins(spark, sf_dir, tmp_path):
     )
     after = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert after == before
+
+
+def test_enriched_segments_match_batch(spark, sf_dir):
+    """Stream-static broadcast join + window must equal the batch
+    join+group over the same parquet."""
+    from museum_image_etl_gridfs_spark.streaming import (
+        stream_enriched_segment_counts,
+    )
+
+    dim = load(spark, "customer", sf_dir)
+    got = run_to_memory(
+        stream_enriched_segment_counts(events_stream(spark, sf_dir), dim),
+        "t_enriched",
+    )
+    ev = load(spark, "events", sf_dir)
+    want = (
+        ev.join(
+            dim.select("c_custkey", "c_mktsegment"),
+            ev["user_id"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "c_mktsegment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment", "n", "sum_value",
+        )
+    )
+    _assert_same(got, want)
