@@ -749,3 +749,55 @@ def frequent_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("g"))
         .limit(40)
     )
+
+
+@query(
+    "unigram_entropy",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_SQL_WORDS_LOWER}) AS term FROM documents),
+    c AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+    e AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+        FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(e.n_tokens, 0) AS n_tokens,
+           coalesce(e.entropy, 0.0) AS entropy
+    FROM documents d LEFT JOIN e USING (doc_id)
+    """,
+    tags=("text", "quality", "extension"),
+)
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution — the
+    classic degenerate-text signal (near-zero entropy = repeated
+    tokens / boilerplate; quality filters drop the low tail).
+
+    Formulated as ``ln(n) - sum(c*ln(c))/n`` over per-term counts so
+    both engines sum the same exact integers before the logs —
+    no order-dependent float accumulation beyond the final row-level
+    expression. One explode, two map-side-combined aggregations on the
+    same doc_id key (the term agg partials combine per partition), and
+    a doc_id-key left join to re-emit token-free docs with entropy 0."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    wdf = docs.select("doc_id", Q.words(F.lower(F.col("text"))).alias("w"))
+    t = (
+        wdf.select("doc_id", F.explode_outer("w").alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    c = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    e = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            4,
+        ).alias("entropy"),
+    )
+    base = load(spark, "documents", sf_dir).select("doc_id")
+    return base.join(e, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+    )
