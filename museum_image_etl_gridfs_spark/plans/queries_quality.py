@@ -801,3 +801,37 @@ def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
     )
+
+
+@query(
+    "length_outliers_by_lang",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 4)
+               AS len_pr,
+           (percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+               BETWEEN 0.02 AND 0.98) AS keep
+    FROM documents
+    """,
+    tags=("text", "quality", "window", "extension"),
+)
+def length_outliers_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-outlier trim: drop documents whose length
+    falls in the bottom/top 2% WITHIN their language — length filters
+    must be per-language because char/token statistics differ across
+    languages (the C4/mC4 practice).
+
+    Scale shape: one window shuffle on lang. Languages are few and
+    skewed at corpus scale; if one language dominates, the same
+    keep-rule can be re-expressed over approx_percentile bounds
+    per lang (no global sort per partition) — at fixture scale the
+    exact percent_rank is the oracle-matched form."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("n_chars"))
+    return docs.select(
+        "doc_id", "lang", "n_chars",
+        F.round(pr, 4).alias("len_pr"),
+        ((pr >= 0.02) & (pr <= 0.98)).alias("keep"),
+    )
