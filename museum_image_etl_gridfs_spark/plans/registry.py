@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "museum_image_etl_gridfs_spark.plans.queries_traindata",
     "museum_image_etl_gridfs_spark.plans.queries_quality",
     "museum_image_etl_gridfs_spark.plans.queries_profile",
+    "museum_image_etl_gridfs_spark.plans.queries_funnel",
 )
 
 
