@@ -216,3 +216,72 @@ def gridfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("blob") == F.col("data")).alias("roundtrip_ok"),
         )
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_orderpriority AS old_priority
+        FROM orders WHERE o_orderkey % 10 <> 3),
+    b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 5 THEN 'X-RECHECK'
+                    ELSE o_orderpriority END AS new_priority
+        FROM orders WHERE o_orderkey % 10 <> 7)
+    SELECT * FROM (
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN old_priority <> new_priority THEN 'changed'
+               END AS change_type,
+               old_priority, new_priority
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+    WHERE change_type IS NOT NULL
+    """,
+    tags=("pipeline", "cdc", "extension"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every key as added / removed
+    / changed between two table versions (unchanged rows are dropped).
+
+    The two versions are carved deterministically from ``orders`` so
+    the oracle can state the same diff: version B drops ``%10 == 7``
+    keys (removed), gains ``%10 == 3`` keys absent from A (added),
+    and rewrites the priority of ``%10 == 5`` keys (changed).
+
+    Scale shape: ONE full-outer sort-merge join on the snapshot key —
+    the irreducible cost of a diff; both sides carry only the key +
+    tracked columns (column-pruned at the scan). With both snapshots
+    bucketed by key the Exchange disappears entirely; for wide rows,
+    compare a single md5 row-hash column instead of column-by-column.
+    String-only mutation keeps the oracle float-free.
+    """
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    key10 = F.col("o_orderkey") % 10
+    a = o.filter(key10 != 3).withColumnRenamed("o_orderpriority", "old_priority")
+    b = (
+        o.filter(key10 != 7)
+        .select(
+            "o_orderkey",
+            F.when(key10 == 5, F.lit("X-RECHECK"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("new_priority"),
+        )
+    )
+    a = a.withColumnRenamed("o_orderkey", "a_key")
+    b = b.withColumnRenamed("o_orderkey", "b_key")
+    d = a.join(b, a["a_key"] == b["b_key"], "full_outer")
+    change = (
+        F.when(F.col("a_key").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .when(F.col("old_priority") != F.col("new_priority"), "changed")
+    )
+    return (
+        d.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.coalesce("a_key", "b_key").alias("o_orderkey"),
+            "change_type", "old_priority", "new_priority",
+        )
+    )
