@@ -26,13 +26,26 @@ def _load(path: str) -> dict | None:
     try:
         with open(path) as f:
             text = f.read().strip()
-        # bench output is ONE JSON line, but tolerate surrounding noise
-        for line in reversed(text.splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-    except (OSError, json.JSONDecodeError):
+    except OSError:
+        return None
+    # Driver BENCH_r{N}.json files are pretty-printed wrappers with the
+    # bench line under "parsed" (null if that round's bench crashed).
+    try:
+        data = json.loads(text)
+        if isinstance(data, dict):
+            if "parsed" in data:
+                return data["parsed"] or None
+            return data
+    except json.JSONDecodeError:
         pass
+    # raw bench stdout: ONE JSON line, tolerate surrounding noise
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return None
     return None
 
 
