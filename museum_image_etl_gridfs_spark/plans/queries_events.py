@@ -412,3 +412,65 @@ def stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_enriched_segment_counts(events_stream(spark, sf_dir), dim),
         f"q_enriched_{uuid.uuid4().hex[:8]}",
     )
+
+
+@query(
+    "stream_event_funnel",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+               min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT CAST(count(t_view) AS BIGINT) AS viewed,
+           CAST(count(*) FILTER (WHERE t_click > t_view) AS BIGINT)
+               AS clicked_after_view,
+           CAST(count(*) FILTER (WHERE t_click > t_view
+                                 AND t_purchase > t_click) AS BIGINT)
+               AS purchased_full_path
+    FROM u
+    """,
+    tags=("streaming", "funnel", "stateful", "extension"),
+)
+def stream_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of ``event_funnel``: a stateful per-user
+    aggregation maintains the FIRST timestamp of each funnel step —
+    min() is commutative and associative, so the result is exact
+    under ANY micro-batch split or arrival order (no watermark or
+    ordering assumption needed; state is three timestamps + a counter
+    per user, bounded by user cardinality like ``stream_user_totals``).
+
+    Update-mode emits a row per user per micro-batch; the monotone
+    ``n_events`` counter picks each user's final emission, then a
+    batch rollup gates the steps exactly like the batch twin.
+    """
+    import uuid
+
+    from ..streaming import events_stream, run_to_memory
+
+    ev = events_stream(spark, sf_dir)
+
+    def first_ts(etype: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    out = run_to_memory(
+        agg, f"q_funnel_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    )
+    u = out.withColumn("__rn", rn).filter(F.col("__rn") == 1)
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return u.agg(
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(clicked, 1)).alias("clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("purchased_full_path"),
+    )

@@ -252,3 +252,12 @@ def test_enriched_segments_match_batch(spark, sf_dir):
         )
     )
     _assert_same(got, want)
+
+
+def test_stream_event_funnel_matches_batch(spark, sf_dir):
+    """The stateful streaming funnel must equal the batch funnel over
+    the same parquet (min-per-step state is order-insensitive, so any
+    micro-batch split yields the identical final row)."""
+    got = QUERIES["stream_event_funnel"].build(spark, sf_dir)
+    want = QUERIES["event_funnel"].build(spark, sf_dir)
+    _assert_same(got, want)
