@@ -278,3 +278,104 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nw").alias("n_words"),
         F.round(-F.col("s").cast("double") / F.col("nw"), 4).alias("avg_nll"),
     )
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("events", "incremental", "extension"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (continuous-aggregate) rollup maintenance: a
+    pre-aggregated BASE (events with ``event_id % 100 < 90``, standing
+    in for the already-rolled-up history) is merged with a freshly
+    aggregated DELTA (the remaining 10%) by RE-AGGREGATING the partial
+    states — count/sum/min/max are all mergeable, so the refresh
+    touches only delta-sized input plus the base's aggregate rows,
+    never the raw history. The oracle is the full recompute, proving
+    merge(partials) ≡ recompute(raw).
+
+    At 100 TB this is the only affordable refresh shape: the base
+    aggregate is O(windows × types), the delta is one partition's
+    worth of raw rows, and the merge shuffles only those. The decimal
+    sum keeps merged doubles bit-identical to the recompute.
+    """
+    ev = load(spark, "events", sf_dir)
+    bucket = F.window("ts", "1 hour").alias("w")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(bucket, "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = rollup(ev.filter(F.col("event_id") % 100 < 90))
+    delta = rollup(ev.filter(F.col("event_id") % 100 >= 90))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("w", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return merged.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           CAST(count(*) AS BIGINT) AS n_custs
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+    tags=("olap", "grouping-sets", "sql-surface"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form cube/rollup specialize
+    (SURVEY §2.4 cube/rollup family): per-region totals, per-nation
+    totals, and the grand total in ONE pass over customer, via the
+    engine's SQL surface (Spark's DataFrame API exposes only
+    cube/rollup; arbitrary grouping sets are SQL).
+
+    One Expand node fans each row into its 3 grouping memberships
+    before a single hash aggregate — no self-union, no re-scan.
+    """
+    for t in ("customer", "nation", "region"):
+        load(spark, t, sf_dir).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_bal,
+               count(*) AS n_custs
+        FROM gs_customer
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
