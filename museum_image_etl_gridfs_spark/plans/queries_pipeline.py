@@ -257,31 +257,15 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare a single md5 row-hash column instead of column-by-column.
     String-only mutation keeps the oracle float-free.
     """
-    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    from ..operators.diff import snapshot_diff_frames
+
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority")
+    )
     key10 = F.col("o_orderkey") % 10
-    a = o.filter(key10 != 3).withColumnRenamed("o_orderpriority", "old_priority")
-    b = (
-        o.filter(key10 != 7)
-        .select(
-            "o_orderkey",
-            F.when(key10 == 5, F.lit("X-RECHECK"))
-            .otherwise(F.col("o_orderpriority"))
-            .alias("new_priority"),
-        )
+    a = o.filter(key10 != 3)
+    b = o.filter(key10 != 7).withColumn(
+        "priority",
+        F.when(key10 == 5, F.lit("X-RECHECK")).otherwise(F.col("priority")),
     )
-    a = a.withColumnRenamed("o_orderkey", "a_key")
-    b = b.withColumnRenamed("o_orderkey", "b_key")
-    d = a.join(b, a["a_key"] == b["b_key"], "full_outer")
-    change = (
-        F.when(F.col("a_key").isNull(), "added")
-        .when(F.col("b_key").isNull(), "removed")
-        .when(F.col("old_priority") != F.col("new_priority"), "changed")
-    )
-    return (
-        d.withColumn("change_type", change)
-        .filter(F.col("change_type").isNotNull())
-        .select(
-            F.coalesce("a_key", "b_key").alias("o_orderkey"),
-            "change_type", "old_priority", "new_priority",
-        )
-    )
+    return snapshot_diff_frames(a, b, "o_orderkey", ["priority"])
