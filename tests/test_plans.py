@@ -240,3 +240,27 @@ def test_doc_chunks_zero_exchange(spark, sf_dir):
     plan = _plan(QUERIES["doc_chunks"].build(spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 0, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_grouping_sets_single_expand_no_union(spark, sf_dir):
+    """GROUPING SETS must plan ONE Expand + one aggregate pair — not a
+    self-union of three scans."""
+    plan = _plan(QUERIES["grouping_sets_revenue"].build(spark, sf_dir))
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan
+
+
+def test_inverted_index_broadcasts_df_band(spark, sf_dir):
+    """The surviving-term set (bounded by the df band) must arrive
+    broadcast — the token stream never shuffles to meet it."""
+    plan = _plan(QUERIES["inverted_index"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_lm_vocab_broadcast(spark, sf_dir):
+    """Both model sides (vocab counts + 1-row total) must broadcast;
+    scoring never shuffles the corpus to look up probabilities."""
+    plan = _plan(QUERIES["unigram_lm_scores"].build(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
