@@ -379,3 +379,52 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((r_name), (n_name), ())
         """
     )
+
+
+#: first-8-hex-digits-of-md5 bucket in [0, 1e6) — the finer-grained
+#: mirror of queries_quality._SQL_HASH_BUCKET_1000
+_SQL_HASH_BUCKET_1M = (
+    "CAST(list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(regexp_split_to_array("
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''), "
+    "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+    "(h, c) -> h * 16 + c) % 1000000 AS INTEGER)"
+)
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               round(-ln(({_SQL_HASH_BUCKET_1M} + 0.5) / 1000000.0)
+                     / greatest(n_chars, 1), 8) AS priority
+        FROM documents)
+    SELECT doc_id, n_chars, priority
+    FROM s ORDER BY priority, doc_id LIMIT 100
+    """,
+    tags=("sampling", "weighted", "extension"),
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis A-ES): each doc draws a pseudo-uniform u from a portable
+    md5 bucket of its key, gets priority ``-ln(u)/w`` with weight
+    ``w = n_chars``, and the k smallest priorities are the sample —
+    longer docs are proportionally likelier, yet any engine can replay
+    the exact selection (no RNG state, stable under repartitioning).
+
+    Scale shape: narrow per-row math + TakeOrderedAndProject
+    (per-partition top-k heaps, no global sort, no shuffle of the
+    corpus). Priorities are rounded to 8 decimals before ranking so
+    the cross-engine float boundary is quantized away; doc_id breaks
+    ties deterministically.
+    """
+    docs = load(spark, "documents", sf_dir)
+    u = (Q.hash_bucket("doc_id", 1_000_000) + F.lit(0.5)) / F.lit(1_000_000.0)
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    pri = F.round(-F.log(u) / w, 8)
+    return (
+        docs.select("doc_id", "n_chars", pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )

@@ -138,3 +138,49 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("decimal(18,2)").cast("double").alias("hi"),
         )
     )
+
+
+@query(
+    "price_deciles",
+    oracle="""
+    WITH t AS (
+        SELECT l_extendedprice,
+               ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                               l_linenumber) AS decile
+        FROM lineitem)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS DOUBLE) AS lo,
+           CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS DOUBLE) AS hi,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM t GROUP BY decile
+    """,
+    tags=("profile", "equi-depth", "window"),
+)
+def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile profile of ``l_extendedprice`` (the
+    complement of ``price_histogram``'s equi-width buckets): ntile
+    over a deterministic total order (price, orderkey, linenumber), so
+    bucket membership is reproducible across engines and partitionings.
+
+    Scale shape: ntile over a global ORDER BY plans a RANGE
+    partitioning Exchange (sampled split points), so the "global" sort
+    is n/p per task, never one task — the canonical distributed
+    equi-depth mechanism. The rollup after it groups on 10 keys.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    t = li.withColumn("decile", F.ntile(10).over(w))
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").cast("decimal(18,2)").cast("double").alias("lo"),
+        F.max("l_extendedprice").cast("decimal(18,2)").cast("double").alias("hi"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
