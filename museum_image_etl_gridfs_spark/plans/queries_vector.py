@@ -191,3 +191,24 @@ def ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return ivf_topk(emb, q, k_cells=16, n_probe=4, top_k=_TOP_K)
+
+
+@query(
+    "pca_projection",
+    oracle=None,  # eigendecomposition is not SQL-expressible; golden-pinned
+    tags=("vector", "pca", "extension"),
+)
+def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-component PCA of the embedding corpus (operators/pca.py):
+    covariance from one distributed partial-sum pass, driver-side
+    eigh on the tiny d×d matrix, then a shuffle-free projection map.
+    Scores rounded to 4 dp; component signs canonicalized — the full
+    result is committed as a golden (tests/test_goldens.py).
+    """
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = load(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", "embedding"
+    )
+    mean, comps, _ratio = pca_fit(emb, k=2)
+    return pca_project(emb, mean, comps, extra_cols=("label",))

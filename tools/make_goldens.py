@@ -49,6 +49,7 @@ FULL_GOLDENS = {
     "near_dup_clusters": ["component"],
     "lsh_bucketed_ann": ["bucket"],
     "ivf_topk_ann": ["qid", "neighbor_id"],
+    "pca_projection": ["vec_id"],
 }
 
 
