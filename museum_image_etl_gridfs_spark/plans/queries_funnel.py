@@ -172,9 +172,12 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT DISTINCT doc_id, unnest(w) AS term
         FROM (SELECT doc_id, {_SQL_WORDS_LOWER} AS w FROM documents)),
+    n AS (SELECT count(*) AS n_docs FROM documents),
     df AS (
         SELECT term, CAST(count(*) AS BIGINT) AS df
-        FROM t GROUP BY term HAVING count(*) BETWEEN 10 AND 400)
+        FROM t CROSS JOIN n
+        GROUP BY term, n_docs
+        HAVING count(*) >= 10 AND count(*) <= 0.8 * n_docs)
     SELECT t.term, df.df,
            array_to_string(list_sort(list(t.doc_id)), ',') AS postings
     FROM t JOIN df ON t.term = df.term
@@ -184,7 +187,9 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index (term → sorted posting list) for mid-frequency
-    terms (document frequency in [10, 400]).
+    terms (absolute floor df >= 10, relative ceiling df <= 80% of the
+    corpus — the ceiling scales with corpus size, so the band means the
+    same thing at every scale factor).
 
     COUNT-FIRST two-pass shape: pass 1 computes per-term df from
     distinct ``(doc_id, term)`` pairs (cheap count, full map-side
@@ -203,10 +208,17 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isNotNull())
         .distinct()
     )
+    n = load(spark, "documents", sf_dir).groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     df = (
         t.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df").between(10, 400))
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") >= 10) & (F.col("df") <= 0.8 * F.col("n_docs"))
+        )
+        .drop("n_docs")
     )
     return (
         t.join(F.broadcast(df), "term")
