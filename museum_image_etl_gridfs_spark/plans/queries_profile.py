@@ -160,22 +160,65 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth decile profile of ``l_extendedprice`` (the
-    complement of ``price_histogram``'s equi-width buckets): ntile
-    over a deterministic total order (price, orderkey, linenumber), so
-    bucket membership is reproducible across engines and partitionings.
+    complement of ``price_histogram``'s equi-width buckets),
+    reproducing ntile(10) over a deterministic total order (price,
+    orderkey, linenumber) WITHOUT a global window.
 
-    Scale shape: ntile over a global ORDER BY plans a RANGE
-    partitioning Exchange (sampled split points), so the "global" sort
-    is n/p per task, never one task — the canonical distributed
-    equi-depth mechanism. The rollup after it groups on 10 keys.
+    A bare ``Window.orderBy`` (no partitionBy) moves every row into
+    ONE task — the classic scale-killer (measured 12x superlinear at
+    sf1). And ``repartitionByRange`` cannot carry global positions
+    across jobs (its split-point sampling reseeds per job). So the
+    range ids come from native ``width_bucket`` over driver-collected
+    min/max (codegen'd, price-monotone — a pure function of the row),
+    per-bucket counts (the only collect — O(buckets) rows, the
+    kmeans-partials pattern) become
+    broadcast offsets, a WITHIN-bucket window yields local row
+    numbers, and ntile's exact base/remainder arithmetic converts
+    offset + local position into the bucket id. Every stage is n/p
+    per task.
     """
     from pyspark.sql import Window
 
-    li = load(spark, "lineitem", sf_dir).select(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    keys = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    li = load(spark, "lineitem", sf_dir).select(*keys)
+    nb = max(spark.sparkContext.defaultParallelism, 2) * 4
+    mn, mx = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).first()
+    # native width_bucket (codegen'd) — price-monotone range ids, so
+    # (pid asc, keys asc) is the global total order; bucket BALANCE is
+    # approximate (skew widens a task) but offsets stay exact
+    pid_expr = F.least(
+        F.width_bucket(F.col("l_extendedprice"), F.lit(mn), F.lit(mx), nb),
+        F.lit(nb),
+    ).alias("pid")
+    t = li.select(*keys, pid_expr)
+    cnt = {
+        r["pid"]: r["cnt"]
+        for r in t.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(cnt.values())
+    offsets, acc = {}, 0
+    for pid in sorted(cnt):
+        offsets[pid] = acc
+        acc += cnt[pid]
+    off = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "pid int, off long"
+        )
     )
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    t = li.withColumn("decile", F.ntile(10).over(w))
+    local = Window.partitionBy("pid").orderBy(*keys)
+    pos = t.join(off, "pid").withColumn(
+        "gpos", F.col("off") + F.row_number().over(local)
+    )
+    # ntile(k): first (n % k) buckets get (n div k)+1 rows, rest n div k
+    base, rem = n // 10, n % 10
+    cut = rem * (base + 1)
+    decile = (
+        F.when(F.col("gpos") <= cut, (F.col("gpos") - 1) / (base + 1))
+        .otherwise(rem + (F.col("gpos") - cut - 1) / max(base, 1))
+    )
+    t = pos.withColumn("decile", (F.floor(decile) + 1).cast("int"))
     return t.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("l_extendedprice").cast("decimal(18,2)").cast("double").alias("lo"),
