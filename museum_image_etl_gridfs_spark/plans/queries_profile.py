@@ -164,61 +164,17 @@ def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducing ntile(10) over a deterministic total order (price,
     orderkey, linenumber) WITHOUT a global window.
 
-    A bare ``Window.orderBy`` (no partitionBy) moves every row into
-    ONE task — the classic scale-killer (measured 12x superlinear at
-    sf1). And ``repartitionByRange`` cannot carry global positions
-    across jobs (its split-point sampling reseeds per job). So the
-    range ids come from native ``width_bucket`` over driver-collected
-    min/max (codegen'd, price-monotone — a pure function of the row),
-    per-bucket counts (the only collect — O(buckets) rows, the
-    kmeans-partials pattern) become
-    broadcast offsets, a WITHIN-bucket window yields local row
-    numbers, and ntile's exact base/remainder arithmetic converts
-    offset + local position into the bucket id. Every stage is n/p
-    per task.
+    Delegates to ``operators/quantiles.py::ntile_exact`` — exact
+    ntile semantics with no single-task stage (width_bucket range
+    ids, O(buckets) offset collect, within-bucket windows); see that
+    module for the scale analysis and the two traps it avoids
+    (global-window OOM, repartitionByRange per-job resampling).
     """
-    from pyspark.sql import Window
+    from ..operators.quantiles import ntile_exact
 
     keys = ["l_extendedprice", "l_orderkey", "l_linenumber"]
     li = load(spark, "lineitem", sf_dir).select(*keys)
-    nb = max(spark.sparkContext.defaultParallelism, 2) * 4
-    mn, mx = li.agg(
-        F.min("l_extendedprice"), F.max("l_extendedprice")
-    ).first()
-    # native width_bucket (codegen'd) — price-monotone range ids, so
-    # (pid asc, keys asc) is the global total order; bucket BALANCE is
-    # approximate (skew widens a task) but offsets stay exact
-    pid_expr = F.least(
-        F.width_bucket(F.col("l_extendedprice"), F.lit(mn), F.lit(mx), nb),
-        F.lit(nb),
-    ).alias("pid")
-    t = li.select(*keys, pid_expr)
-    cnt = {
-        r["pid"]: r["cnt"]
-        for r in t.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    n = sum(cnt.values())
-    offsets, acc = {}, 0
-    for pid in sorted(cnt):
-        offsets[pid] = acc
-        acc += cnt[pid]
-    off = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "pid int, off long"
-        )
-    )
-    local = Window.partitionBy("pid").orderBy(*keys)
-    pos = t.join(off, "pid").withColumn(
-        "gpos", F.col("off") + F.row_number().over(local)
-    )
-    # ntile(k): first (n % k) buckets get (n div k)+1 rows, rest n div k
-    base, rem = n // 10, n % 10
-    cut = rem * (base + 1)
-    decile = (
-        F.when(F.col("gpos") <= cut, (F.col("gpos") - 1) / (base + 1))
-        .otherwise(rem + (F.col("gpos") - cut - 1) / max(base, 1))
-    )
-    t = pos.withColumn("decile", (F.floor(decile) + 1).cast("int"))
+    t = ntile_exact(li, keys, 10, out_col="decile")
     return t.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("l_extendedprice").cast("decimal(18,2)").cast("double").alias("lo"),
@@ -226,4 +182,53 @@ def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("total"),
+    )
+
+
+@query(
+    "customer_ltv_deciles",
+    oracle="""
+    WITH s AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS spend
+        FROM orders GROUP BY o_custkey),
+    t AS (
+        SELECT *, ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+        FROM s)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           min(spend) AS lo, max(spend) AS hi,
+           CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM t GROUP BY decile
+    """,
+    tags=("profile", "equi-depth", "ltv"),
+)
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: per-customer total spend,
+    then exact ntile(10) by (spend, custkey) via the distributed
+    ``ntile_exact`` operator — second consumer of the no-global-window
+    machinery, this time over an AGGREGATE (spend per customer), which
+    at billion-customer scale is itself too large for a single-task
+    window.
+    """
+    from ..operators.quantiles import ntile_exact
+
+    spend = (
+        load(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    t = ntile_exact(spend, ["spend", "o_custkey"], 10, out_col="decile")
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("spend").alias("lo"),
+        F.max("spend").alias("hi"),
+        F.sum(F.col("spend").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend"),
     )

@@ -1,0 +1,64 @@
+"""ntile_exact (operators/quantiles.py) must reproduce Spark's own
+ntile() over the same total order — on uniform, skewed, tied, and
+remainder-heavy inputs — without ever planning a global window."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from museum_image_etl_gridfs_spark.operators.quantiles import ntile_exact
+
+
+def _reference(df, keys, k):
+    w = Window.orderBy(*keys)  # fine at test scale
+    return df.withColumn("bucket", F.ntile(k).over(w))
+
+
+def _assert_matches(df, keys, k):
+    got = ntile_exact(df, keys, k).select(*keys, "bucket")
+    want = _reference(df, keys, k).select(*keys, "bucket")
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+
+@pytest.mark.parametrize("k", [3, 7, 10])
+def test_uniform_values_match_spark_ntile(spark, k):
+    rows = [(float(i % 97), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "v double, id long").repartition(8)
+    _assert_matches(df, ["v", "id"], k)
+
+
+def test_heavy_value_skew_matches(spark):
+    # 80% of rows share one hot value -> one wide width_bucket range
+    rows = [(1.0 if i % 5 else float(i), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "v double, id long").repartition(8)
+    _assert_matches(df, ["v", "id"], 10)
+
+
+def test_remainder_distribution_first_buckets_bigger(spark):
+    rows = [(float(i), i) for i in range(23)]  # 23 = 2*10 + 3
+    df = spark.createDataFrame(rows, "v double, id long")
+    sizes = (
+        ntile_exact(df, ["v", "id"], 10)
+        .groupBy("bucket").count().orderBy("bucket").collect()
+    )
+    assert [r["count"] for r in sizes] == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+
+
+def test_constant_column_degenerates_gracefully(spark):
+    rows = [(5.0, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "v double, id long").repartition(4)
+    _assert_matches(df, ["v", "id"], 10)
+
+
+def test_no_single_task_window_in_plan(spark):
+    rows = [(float(i), i) for i in range(100)]
+    df = spark.createDataFrame(rows, "v double, id long").repartition(4)
+    out = ntile_exact(df, ["v", "id"], 10)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # a global (unpartitioned) window would plan Exchange SinglePartition
+    assert "SinglePartition" not in plan
