@@ -167,3 +167,89 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("shard_chars"),
         )
     )
+
+
+#: lowercased whitespace word array (shared mirror; see queries_quality)
+_SQL_WORDS_CURATE = (
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, text,
+               len({_SQL_WORDS_CURATE}) AS n_words,
+               length(regexp_replace(trim(coalesce(text, '')), '\\s+', '', 'g'))
+                   AS solid
+        FROM documents),
+    q AS (
+        SELECT * FROM w
+        WHERE n_words >= 10
+          AND solid * 1.0 / n_words BETWEEN 3 AND 12),
+    d AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM q),
+    k AS (SELECT * FROM d WHERE rn = 1),
+    s AS (
+        SELECT doc_id, n_words,
+               CASE WHEN CAST((((((doc_id) + 42) * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 100 AS INTEGER) < 64 THEN 'train' WHEN CAST((((((doc_id) + 42) * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 100 AS INTEGER) < 80 THEN 'validation' ELSE 'test' END AS split,
+               CAST(list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''), c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), (h, c) -> h * 16 + c) % 1000 AS INTEGER) % 20 AS shard
+        FROM k)
+    SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM s GROUP BY split, shard
+    """,
+    tags=("traindata", "pipeline", "flagship", "extension"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE composed lazy plan — the
+    full training-data path a user of this engine runs nightly:
+
+    1. quality gate: 10 <= n_words, mean solid-char word length in
+       [3, 12] (C4-style degenerate-text cut);
+    2. exact dedup: keep-first by md5(text) group (doc_id order);
+    3. reproducible 64/16/20 split (portable md5 bucket of doc_id);
+    4. shard assignment within split (md5 bucket % 20);
+    5. rollup: docs + token mass per (split, shard).
+
+    Every stage reuses a verified operator (``Q.words``/quality
+    fragments, ``dedup_keep_first``, ``assign_split``,
+    ``Q.hash_bucket``) and the whole chain still optimizes as one
+    DAG: scan-side projection/filter, ONE dedup window shuffle, then
+    a 60-group aggregate. The oracle replays the identical pipeline
+    in SQL from the shared mirrors.
+    """
+    from ..functions import quality as Q
+    from ..operators.dedup import dedup_keep_first
+    from ..operators.split import assign_split
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    w = Q.words(F.lower(F.col("text")))
+    solid = F.length(
+        F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", "")
+    )
+    q = (
+        docs.withColumn("n_words", F.size(w))
+        .withColumn("mean_wlen", solid / F.col("n_words"))
+        .filter(
+            (F.col("n_words") >= 10)
+            & F.col("mean_wlen").between(3, 12)
+        )
+    )
+    deduped = dedup_keep_first(
+        q.withColumn("fp", F.md5("text")), ["fp"], ["doc_id"]
+    )
+    assigned = assign_split(deduped, "doc_id").withColumn(
+        "shard", Q.hash_bucket("doc_id", 1000) % 20
+    )
+    return (
+        assigned.groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+    )
