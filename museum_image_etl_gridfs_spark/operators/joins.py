@@ -77,9 +77,20 @@ def asof_join(
         horizon = F.col("__t").cast("long") - t_match.cast("long") <= F.lit(
             tolerance_seconds
         )
+    # carry all right values as ONE struct so they arrive atomically
+    # from the same matched row — per-column last(ignorenulls) carries
+    # would let a NULL field on the latest match wrongly inherit an
+    # older row's non-null value
+    row_struct = F.last(
+        F.when(
+            F.col("__is_left") == 0,
+            F.struct(*[F.col(name) for name in right_values]),
+        ),
+        ignorenulls=True,
+    ).over(w)
     carried = []
     for name in right_values:
-        col = F.last(F.col(name), ignorenulls=True).over(w)
+        col = row_struct[name]
         if horizon is not None:
             col = F.when(horizon, col)
         carried.append(col.alias(name))

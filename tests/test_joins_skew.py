@@ -114,3 +114,24 @@ def test_approx_distinct_within_5pct(spark, sf_dir):
         F.countDistinct("l_partkey").alias("e"),
     ).collect()[0]
     assert abs(row["a"] - row["e"]) / row["e"] < 0.05
+
+
+def test_asof_null_field_carried_atomically(spark):
+    """A NULL field on the MATCHED right row must stay NULL — the
+    struct carry forbids inheriting that field from an older row
+    (regression: per-column last(ignorenulls) mixed rows)."""
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T12:00:00"))], "id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:00"), 100.0, "old"),
+            ("A", _ts("2024-01-01T11:00:00"), None, "new"),
+        ],
+        "k string, t timestamp, price double, tag string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        right_values=["price", "tag"], strict=False,
+    ).collect()[0]
+    assert out["tag"] == "new" and out["price"] is None
