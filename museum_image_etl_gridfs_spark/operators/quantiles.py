@@ -40,8 +40,11 @@ def ntile_exact(
     buckets_per_core: int = 4,
 ) -> DataFrame:
     """Append ``out_col`` = exact ``ntile(k)`` over the total order
-    ``order_keys`` (the first key must be numeric; the full key list
-    must be a strict total order for deterministic membership).
+    ``order_keys`` (the first key must be numeric and NON-NULL —
+    engines disagree on NULL ordering (Spark NULLS FIRST vs DuckDB
+    NULLS LAST), so a NULL lead key has no portable bucket; the full
+    key list must be a strict total order for deterministic
+    membership).
 
     Equivalent to ``ntile(k) OVER (ORDER BY order_keys)`` — verified
     against DuckDB in the decile queries — but with no single-task
@@ -51,7 +54,13 @@ def ntile_exact(
     spark = df.sparkSession
     t0 = df.select(*order_keys)
     nb = max(spark.sparkContext.defaultParallelism, 2) * buckets_per_core
-    mn, mx = t0.agg(F.min(lead), F.max(lead)).first()
+    mn, mx, n_null = t0.agg(
+        F.min(lead),
+        F.max(lead),
+        F.count(F.when(F.col(lead).isNull(), 1)),
+    ).first()
+    if n_null:  # least()/width_bucket would silently misplace NULLs
+        raise ValueError(f"ntile_exact: NULL values in lead key {lead!r}")
     if mn is None:
         return df.withColumn(out_col, F.lit(None).cast("int"))
     pid_expr = (

@@ -62,3 +62,10 @@ def test_no_single_task_window_in_plan(spark):
     )
     # a global (unpartitioned) window would plan Exchange SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_null_lead_key_rejected(spark):
+    rows = [(None, 1), (2.0, 2), (3.0, 3)]
+    df = spark.createDataFrame(rows, "v double, id long")
+    with pytest.raises(ValueError, match="NULL values in lead key"):
+        ntile_exact(df, ["v", "id"], 2)
