@@ -28,7 +28,9 @@ def snapshot_diff_frames(
     tracked: Sequence[str],
 ) -> DataFrame:
     """Diff two table versions on ``key``, comparing ``tracked``
-    columns; unchanged rows are dropped.
+    columns; unchanged rows are dropped. ``key`` must be unique
+    within each snapshot (CDC semantics) — duplicate keys fan out
+    through the full-outer join and produce one diff row per pair.
 
     Returns ``key, change_type ('added'|'removed'|'changed'),
     old_<c>, new_<c>`` for each tracked column ``c``.

@@ -69,3 +69,23 @@ def test_null_lead_key_rejected(spark):
     df = spark.createDataFrame(rows, "v double, id long")
     with pytest.raises(ValueError, match="NULL values in lead key"):
         ntile_exact(df, ["v", "id"], 2)
+
+
+def test_property_random_data_matches_spark_ntile(spark):
+    """Hypothesis-style randomized check (fixed seeds, no Spark-in-
+    hypothesis overhead): any value distribution + any k must match
+    Spark's ntile exactly."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(1, 300)
+        k = rng.randint(2, 12)
+        dup_pool = [rng.uniform(-1e6, 1e6) for _ in range(max(n // 10, 1))]
+        rows = [
+            (rng.choice(dup_pool) if rng.random() < 0.5
+             else rng.uniform(-1e6, 1e6), i)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "v double, id long").repartition(5)
+        _assert_matches(df, ["v", "id"], k)
