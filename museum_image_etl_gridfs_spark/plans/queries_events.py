@@ -574,3 +574,60 @@ def trailing_24h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_24h"),
     )
+
+
+@query(
+    "hourly_anomaly_hours",
+    oracle="""
+    WITH hc AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    st AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS k,
+               CAST(sum(n) AS DOUBLE) AS s,
+               CAST(sum(n * n) AS DOUBLE) AS q
+        FROM hc GROUP BY 1)
+    SELECT hc.event_type, hc.h AS hour_start, hc.n,
+           round((hc.n - s / k) / sqrt((q - s * s / k) / (k - 1)), 4) AS z
+    FROM hc JOIN st USING (event_type)
+    WHERE abs((hc.n - s / k) / sqrt((q - s * s / k) / (k - 1))) >= 2.0
+    """,
+    tags=("events", "anomaly", "timeseries", "extension"),
+)
+def hourly_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count sits >= 2
+    standard deviations from that type's hourly mean — the monitoring
+    readout behind traffic-spike / outage alerts.
+
+    Cross-engine determinism: the per-type stats are the integer
+    sufficient statistics (k, Σn, Σn²) — exact longs — and mean/var/z
+    are derived from them with the same IEEE expression in both
+    engines, so the z filter cannot flip. Two map-combined aggregates
+    (raw→cells, cells→stats), stats broadcast back onto cells; the
+    raw stream is read once.
+    """
+    ev = load(spark, "events", sf_dir)
+    hc = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").cast("double").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("q"),
+    )
+    j = hc.join(F.broadcast(st), "event_type")
+    z = (F.col("n") - F.col("s") / F.col("k")) / F.sqrt(
+        (F.col("q") - F.col("s") * F.col("s") / F.col("k")) / (F.col("k") - 1)
+    )
+    return (
+        j.filter(F.abs(z) >= 2.0)
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            "n",
+            F.round(z, 4).alias("z"),
+        )
+    )

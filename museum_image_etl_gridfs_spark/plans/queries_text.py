@@ -172,3 +172,36 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the grammar and the 100 TB posture (narrow, zero-exchange)."""
     docs = load(spark, "documents", sf_dir)
     return chunk_documents(docs, size=160, stride=120)
+
+
+def _lang_confusion_oracle() -> str:
+    inner = _lang_oracle().strip()
+    return f"""
+    WITH g AS ({inner})
+    SELECT d.lang AS labeled, g.lang_guess AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN g USING (doc_id)
+    GROUP BY labeled, predicted
+    """
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=_lang_confusion_oracle(),
+    tags=("text", "evaluation", "extension"),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation surface: confusion matrix of the marker
+    language heuristic against the labeled ``lang`` column — the
+    accuracy readout a curation pipeline keeps per data drop to catch
+    lang-ID drift. Narrow per-row prediction (same expression as
+    ``lang_id``), one small (labels × guesses) aggregate."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"),
+            TX.lang_guess("text").alias("predicted"),
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
