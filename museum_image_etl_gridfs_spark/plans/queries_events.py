@@ -631,3 +631,37 @@ def hourly_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "dow_hour_profile",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY dow, hod
+    """,
+    tags=("events", "seasonality", "date", "extension"),
+)
+def dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: the (ISO day-of-week × hour-of-day)
+    traffic matrix — the baseline surface anomaly detectors and
+    capacity planners compare against. Engine date-function parity
+    trap: Spark ``dayofweek`` is 1=Sunday while DuckDB ``dayofweek``
+    is 0=Sunday — both sides use ISO numbering (1=Monday) instead
+    (Spark ``weekday``+1 ≡ DuckDB ``isodow``). One map-combined
+    aggregate over a 7 × 24 key space."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
