@@ -514,3 +514,52 @@ def pit_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_values=["version_key", "attr_price"],
         strict=False,
     ).select("event_id", "custkey", "version_key", "attr_price")
+
+
+@query(
+    "priority_ship_lead_times",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(date_diff('day', o_orderdate, l_shipdate))
+                      AS DOUBLE) / count(*), 4) AS avg_lead_days,
+           CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+               AS max_lead_days,
+           round(CAST(count(*) FILTER (WHERE
+                          date_diff('day', o_orderdate, l_shipdate) > 90)
+                      AS DOUBLE) / count(*), 4) AS slow_frac
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("olap", "date", "logistics"),
+)
+def priority_ship_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lead-time profile per order priority: average and
+    worst order-date→ship-date lag per line item, plus the fraction
+    slower than 90 days — the Q12 family generalized from two buckets
+    to full per-priority statistics.
+
+    Determinism: lags are integer day counts, so the averages are
+    exact-integer sums divided once in double — no float summation
+    order anywhere. The only exchange is the lineitem⇄orders join
+    (AQE broadcasts the pruned orders side at bench scale; SMJ on
+    orderkey at 100 TB); the final aggregate is 5 groups with
+    map-side combine.
+    """
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    lead = F.datediff("l_shipdate", "o_orderdate")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(lead).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_lead_days"),
+        F.max(lead).cast("long").alias("max_lead_days"),
+        F.round(
+            F.count(F.when(lead > 90, 1)).cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("slow_frac"),
+    )
