@@ -563,3 +563,53 @@ def priority_ship_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("slow_frac"),
     )
+
+
+@query(
+    "brand_cooccurrence",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY brand_a, brand_b
+    """,
+    tags=("olap", "market-basket", "self-join"),
+)
+def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: how often two part brands appear
+    in the same order — the association-mining primitive behind
+    recommendations ("customers who bought X's brand also bought...").
+
+    Scale shape: brands arrive via a BROADCAST part join (no shuffle
+    of lineitem), the per-order distinct collapses the fact to
+    (order, brand) pairs with map-side combine, and the pair fan-out
+    is a self-join on the orderkey partitioning — per-order cost is
+    (brands-per-order choose 2), bounded by basket width, never by
+    catalog size. The brand<brand guard halves the pairs and makes
+    the matrix triangular/deterministic.
+    """
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
