@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.sketches import cms_heavy_hitters, tokens_of
+from ..operators.skyline import skyline
 from ..partitioning import spread
 from .registry import query
 
@@ -52,3 +53,36 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(tokens_of(F.col("text"))).alias("item")
     ).filter(F.col("item").isNotNull())
     return cms_heavy_hitters(toks, "item", _HH_FRAC)
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+    tags=("skyline", "pareto", "mapInPandas"),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: cheapest-for-their-size (minimize
+    p_retailprice, maximize p_size), via the two-phase distributed
+    skyline (operators/skyline.py).
+
+    The oracle is the quadratic NOT EXISTS; the Spark plan is linear
+    per partition (local SFS skyline) plus one tiny global pass —
+    at 100 TB the fact never shuffles, only per-partition frontiers
+    move.
+    """
+    part = spread(
+        load(spark, "part", sf_dir).select(
+            "p_partkey", "p_name", "p_retailprice", "p_size"
+        ),
+        "p_partkey",
+    )
+    return skyline(part, minimize=["p_retailprice"], maximize=["p_size"])
