@@ -86,3 +86,222 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
     )
     return skyline(part, minimize=["p_retailprice"], maximize=["p_size"])
+
+
+@query(
+    "udaf_quantity_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_qty,
+           MAX(l_extendedprice) AS max_price,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udaf", "pandas_udf", "agg"),
+)
+def udaf_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.10 UDAF surface: grouped-agg ``pandas_udf``
+    aggregation (Arrow series in, scalar out) — Spark's user-defined
+    aggregate path, planned as ``AggregateInPandas``.
+
+    Chosen stats are order-independent AND bit-exact cross-engine
+    (integer-valued doubles sum exactly in float64; max/count are
+    exact), so the Python aggregation hash-matches the SQL oracle.
+    Built-ins would beat this in production — the query exists to
+    exercise and pin the UDAF path, the escape hatch for aggregates
+    Spark lacks (the partial-less single-stage shape is the cost:
+    grouped-agg pandas UDFs shuffle raw rows, not partials).
+    """
+    # explicit GROUPED_AGG functionType: this module uses PEP-563
+    # string annotations, which pandas_udf cannot infer types from
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def total_qty(q):
+        return float(q.sum())
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def max_price(p):
+        return float(p.max())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_items(q):
+        return len(q)
+
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        total_qty("l_quantity").alias("total_qty"),
+        max_price("l_extendedprice").alias("max_price"),
+        n_items("l_quantity").alias("n_items"),
+    )
+
+
+def _sql_row_hash(concat_expr: str) -> str:
+    """DuckDB rendering of the portable row hash: first 8 hex digits
+    of md5 folded to a BIGINT (mirrors Spark's conv(...,16,10))."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(regexp_split_to_array(substr(md5({concat_expr}), 1, 8"
+        "), ''), c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+        "(h, c) -> h * 16 + c)"
+    )
+
+
+def _spark_row_hash(*cols: str):
+    """Spark side of the portable row hash (pure JVM expressions)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 8), 16, 10
+    ).cast("long")
+
+
+_CHECKSUM_TABLES = {
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+    "customer": ("c_custkey", "c_name", "c_mktsegment"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type"),
+}
+
+_CHECKSUM_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({_sql_row_hash(
+               "concat_ws('|', " + ", ".join(
+                   f"CAST({c} AS VARCHAR)" for c in cols
+               ) + ")"
+           )}) AS BIGINT) AS checksum
+    FROM {tbl}
+    """
+    for tbl, cols in _CHECKSUM_TABLES.items()
+)
+
+
+@query(
+    "table_checksums",
+    oracle=_CHECKSUM_ORACLE,
+    tags=("fingerprint", "integrity", "agg"),
+)
+def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprints: per table, row count plus
+    the sum of per-row md5-fold hashes over identity columns.
+
+    The data-engineering primitive behind replication diffing and
+    incremental-load verification: two copies of a table match iff
+    (n_rows, checksum) match, computable in one scan each side with a
+    map-side partial sum — no sort, no row shipping. Pure JVM
+    expressions (md5/conv are codegen'd); the hash is bit-identical
+    to the DuckDB oracle's hex fold.
+    """
+    pieces = []
+    for tbl, cols in _CHECKSUM_TABLES.items():
+        df = load(spark, tbl, sf_dir)
+        pieces.append(
+            df.select(
+                _spark_row_hash(
+                    *[F.col(c).cast("string") for c in cols]
+                ).alias("h")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("h").alias("checksum"),
+            )
+            .select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "hourly_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT date_trunc('hour', ts) AS hour, value, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT hour,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM e
+    GROUP BY hour
+    """,
+    tags=("argmin", "min_by", "timeseries", "events"),
+)
+def hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over the event value stream — the argmin/argmax
+    aggregation surface (min_by/max_by family).
+
+    Open/close are computed as single-pass struct-min/struct-max
+    aggregates (lexicographic on (ts, event_id, value); event_id
+    breaks ts ties deterministically) — one shuffle on the hour key
+    with map-side partials, no window sort. The oracle takes the
+    window-function route to the same rows, cross-checking Spark's
+    struct-ordering semantics against row_number ordering.
+    """
+    ev = load(spark, "events", sf_dir)
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    pick = F.struct("ts", "event_id", "value")
+    return ev.groupBy(hour).agg(
+        F.min(pick)["value"].alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max(pick)["value"].alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "fuzzy_name_matches",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS noun FROM names)
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS dist
+    FROM b a
+    JOIN b c ON a.noun = c.noun AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 2
+    """,
+    tags=("entity-resolution", "fuzzy-join", "blocking"),
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over part names: candidate
+    pairs share a blocking key (the head-noun token), then edit
+    distance ≤ 2 on the full name.
+
+    The ER pattern at scale: dedup to distinct names FIRST (the
+    join's unit of work is the name, not the row), block to bound the
+    candidate pairs (no all-pairs cross join anywhere), and score
+    with the JVM-side ``levenshtein`` builtin so the whole pipeline
+    stays in whole-stage codegen.
+    """
+    names = (
+        load(spark, "part", sf_dir)
+        .select("p_name")
+        .distinct()
+        .withColumn("noun", F.substring_index("p_name", " ", -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("noun").alias("noun_a")
+    )
+    c = names.select(
+        F.col("p_name").alias("name_b"), F.col("noun").alias("noun_b")
+    )
+    return (
+        a.join(
+            c,
+            (F.col("noun_a") == F.col("noun_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+    )
