@@ -305,3 +305,102 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("name_a", "name_b", "dist")
     )
+
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pr_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as DuckDB CTEs (the SQL
+    rendering of the exact dataflow the Spark builder runs)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+        SELECT ne.dst AS node,
+               0.15 / (SELECT nn FROM n) + {_PR_DAMP} * sum(p.pr * ne.nw) AS pr
+        FROM ne JOIN {prev} p ON p.node = ne.src
+        GROUP BY ne.dst
+    )"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    e AS (
+        SELECT a.b AS src, c.b AS dst, CAST(count(*) AS DOUBLE) AS w
+        FROM ob a JOIN ob c ON a.ok = c.ok AND a.b <> c.b
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+    ne AS (SELECT e.src, e.dst, e.w / outw.ow AS nw
+           FROM e JOIN outw USING (src)),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM outw),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT nn FROM n) AS pr FROM outw),
+    {", ".join(iters)}
+    SELECT node AS brand, round(pr, 9) AS pr FROM {prev}
+    """
+
+
+@query(
+    "brand_pagerank",
+    oracle=_pr_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph dataflow: 3 power-iteration steps of weighted
+    PageRank over the brand co-occurrence graph (brands linked when
+    they appear in the same order, edge weight = co-order count).
+
+    The Spark shape per iteration is join(ranks, edges on src) →
+    groupBy(dst) → weighted sum: the rank table is tiny (one row per
+    brand) so AQE broadcasts it and each iteration costs one
+    shuffle-free pass over edges plus a small aggregate. The
+    expensive, genuinely distributed stage is the one-time edge
+    extraction (distinct + basket self-join on the order key). The
+    graph is symmetric so there are no dangling nodes. Scores are
+    rounded to 9 decimals for cross-engine float-sum-order
+    independence (same route as unigram_lm_scores).
+    """
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    brands = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(brands), li["l_partkey"] == brands["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = ob.select(F.col("ok"), F.col("b").alias("src"))
+    c = ob.select(F.col("ok").alias("ok2"), F.col("b").alias("dst"))
+    e = (
+        a.join(c, (a["ok"] == c["ok2"]) & (a["src"] != c["dst"]))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    ne = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("nw")
+    )
+    ne = ne.persist()
+    n_nodes = float(outw.count())
+    ranks = outw.select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            ne.join(ranks, ne["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(_PR_DAMP) * F.sum(F.col("pr") * F.col("nw"))
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+        )
+    return ranks.select(
+        F.col("node").alias("brand"), F.round("pr", 9).alias("pr")
+    )
