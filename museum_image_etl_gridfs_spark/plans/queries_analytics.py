@@ -404,3 +404,250 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("brand"), F.round("pr", 9).alias("pr")
     )
+
+
+@query(
+    "peak_concurrency",
+    oracle="""
+    WITH ep AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+    ),
+    gapped AS (
+        SELECT user_id, t,
+               CASE WHEN LAG(t) OVER w IS NULL THEN 1
+                    WHEN t - LAG(t) OVER w > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM ep
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, t,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gapped
+    ),
+    sess AS (
+        SELECT user_id, sid, MIN(t) AS s, MAX(t) + 1 AS e
+        FROM numbered GROUP BY user_id, sid
+    ),
+    pts AS (
+        SELECT s AS t, CAST(COUNT(*) AS BIGINT) AS d FROM sess GROUP BY s
+        UNION ALL
+        SELECT e AS t, -CAST(COUNT(*) AS BIGINT) AS d FROM sess GROUP BY e
+    ),
+    ag AS (SELECT t, SUM(d) AS d FROM pts GROUP BY t),
+    run AS (SELECT t, SUM(d) OVER (ORDER BY t) AS conc FROM ag)
+    SELECT CAST(conc AS BIGINT) AS peak_sessions, t AS at_us
+    FROM run ORDER BY conc DESC, t ASC LIMIT 1
+    """,
+    tags=("sweep-line", "sessionization", "events"),
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of concurrent user sessions (30-min-gap sessions,
+    half-open [start, end+1µs) intervals) and the earliest instant it
+    is reached — the sweep-line / interval-concurrency operator.
+
+    The running sum over event boundaries is computed as a
+    DISTRIBUTED prefix sum: boundaries aggregate per timestamp, a
+    day-partitioned window handles within-day prefixes in parallel,
+    and only the ~#days day totals pass through the global ordering —
+    no single-task sort of the full boundary stream (the trap a naive
+    ``Window.orderBy(t)`` would hit at 100 TB).
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("t", "event_id")
+    new_session = F.when(
+        F.lag("t").over(w_order).isNull()
+        | ((F.col("t") - F.lag("t").over(w_order)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id",
+        "t",
+        F.sum(new_session)
+        .over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.min("t").alias("s"), (F.max("t") + 1).alias("e")
+    )
+    pts = sess.groupBy(F.col("s").alias("t")).agg(
+        F.count(F.lit(1)).alias("d")
+    ).unionAll(
+        sess.groupBy(F.col("e").alias("t")).agg((-F.count(F.lit(1))).alias("d"))
+    )
+    ag = pts.groupBy("t").agg(F.sum("d").alias("d"))
+    # distributed prefix sum: per-day running sums in parallel, then a
+    # tiny global pass over day totals only
+    day = (F.col("t") / F.lit(86_400_000_000)).cast("long")
+    ag = ag.withColumn("day", day)
+    w_in_day = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_day = ag.withColumn("run_in_day", F.sum("d").over(w_in_day))
+    day_tot = ag.groupBy("day").agg(F.sum("d").alias("day_d"))
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = day_tot.select(
+        "day", F.coalesce(F.sum("day_d").over(w_days), F.lit(0)).alias("off")
+    )
+    conc = (
+        in_day.join(F.broadcast(offsets), "day")
+        .select("t", (F.col("off") + F.col("run_in_day")).alias("conc"))
+    )
+    best = conc.agg(F.max(F.struct(F.col("conc"), (-F.col("t")).alias("neg_t"))).alias("b"))
+    return best.select(
+        F.col("b.conc").alias("peak_sessions"),
+        (-F.col("b.neg_t")).alias("at_us"),
+    )
+
+
+_SQL_USER_ARM = (
+    "CASE WHEN list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(regexp_split_to_array("
+    "substr(md5(CAST(user_id AS VARCHAR)), 1, 8), ''), "
+    "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+    "(h, c) -> h * 16 + c) % 2 = 0 THEN 'A' ELSE 'B' END"
+)
+
+
+@query(
+    "ab_conversion_lift",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS conv,
+               {_SQL_USER_ARM} AS arm
+        FROM events
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        FROM per_user
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt(
+               (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+             ) AS z_stat
+    FROM arms
+    """,
+    tags=("ab-test", "experiment", "stats"),
+)
+def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users hash-split into arms A/B (md5 fold —
+    the same deterministic assignment machinery as the train split),
+    per-arm conversion (≥1 purchase over 150), and the two-proportion
+    pooled z statistic.
+
+    Every float op is a single IEEE-correctly-rounded step on exact
+    integer counts with identical parenthesization on both engines,
+    so the z-stat matches bit-for-bit with NO rounding slack.
+    """
+    ev = load(spark, "events", sf_dir)
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1
+            ).otherwise(0)
+        ).alias("conv"),
+        F.first(arm).alias("arm"),
+    )
+    arms = per_user.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    n_a, c_a = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    n_b, c_b = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    return arms.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (c_a / n_a).alias("rate_a"),
+        (c_b / n_b).alias("rate_b"),
+        (
+            (c_a / n_a - c_b / n_b)
+            / F.sqrt(
+                pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+            )
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "decayed_user_value",
+    oracle="""
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS r FROM events)
+    SELECT user_id,
+           round(SUM(value * exp(-(((SELECT r FROM ref) - epoch_us(ts))
+                 / 86400000000.0 / 30.0))), 6) AS decayed_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("feature-engineering", "time-decay", "events"),
+)
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user
+    (half-life-style recency weighting, 30-day scale) — the standard
+    feature-engineering aggregate for recommendation/training labels.
+
+    The global reference instant is a one-row aggregate broadcast into
+    the scan (no collect, no single-partition window); scores are
+    rounded to 6 decimals for cross-engine exp/sum-order tolerance.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "value", F.unix_micros(F.col("ts")).alias("t")
+    )
+    ref = ev.agg(F.max("t").alias("r"))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(
+                        -(
+                            (F.col("r") - F.col("t"))
+                            / F.lit(86400000000.0)
+                            / F.lit(30.0)
+                        )
+                    )
+                ),
+                6,
+            ).alias("decayed_value")
+        )
+    )
