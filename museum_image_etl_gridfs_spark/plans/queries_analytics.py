@@ -608,6 +608,45 @@ def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hourly_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT date_trunc('hour', ts) AS window_start, value, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT window_start,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM e
+    GROUP BY window_start
+    """,
+    tags=("streaming", "argmin", "timeseries", "extension"),
+)
+def stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``hourly_ohlc``: watermarked tumbling-window
+    OHLC bars drained with availableNow (batch-equivalent), so the
+    batch window-function oracle hash-checks the streaming argmin/
+    argmax state machinery."""
+    import uuid
+
+    from ..streaming import events_stream, run_to_memory, stream_hourly_ohlc_bars
+
+    return run_to_memory(
+        stream_hourly_ohlc_bars(events_stream(spark, sf_dir)),
+        f"q_ohlc_{uuid.uuid4().hex[:8]}",
+    )
+
+
+@query(
     "decayed_user_value",
     oracle="""
     WITH ref AS (SELECT MAX(epoch_us(ts)) AS r FROM events)

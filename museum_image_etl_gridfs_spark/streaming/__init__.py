@@ -18,6 +18,7 @@ from .events import (  # noqa: F401
     stream_dedup_within_watermark,
     stream_enriched_segment_counts,
     stream_expiring_sessions,
+    stream_hourly_ohlc_bars,
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,

@@ -138,6 +138,36 @@ def stream_session_windows(
     )
 
 
+def stream_hourly_ohlc_bars(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Hourly OHLC bars on the value stream — argmin/argmax in a
+    watermarked tumbling window, the streaming twin of the batch
+    ``hourly_ohlc`` query.
+
+    Open/close ride on struct-min/struct-max (lexicographic on
+    (ts, event_id, value)): plain min/max aggregates, so Spark keeps
+    one partially-merged struct per open window — state is O(open
+    windows), closed-window state drops at the watermark.
+    """
+    pick = F.struct("ts", "event_id", "value")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min(pick)["value"].alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(pick)["value"].alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "open_v", "high_v", "low_v", "close_v", "n_events",
+        )
+    )
+
+
 def stream_dedup_within_watermark(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

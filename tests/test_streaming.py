@@ -261,3 +261,19 @@ def test_stream_event_funnel_matches_batch(spark, sf_dir):
     got = QUERIES["stream_event_funnel"].build(spark, sf_dir)
     want = QUERIES["event_funnel"].build(spark, sf_dir)
     _assert_same(got, want)
+
+
+def test_hourly_ohlc_matches_batch(spark, sf_dir):
+    """Streaming struct-argmin/argmax bars == batch hourly_ohlc
+    (modulo the hour column name)."""
+    from museum_image_etl_gridfs_spark.streaming import stream_hourly_ohlc_bars
+
+    got = run_to_memory(
+        stream_hourly_ohlc_bars(events_stream(spark, sf_dir)), "t_ohlc"
+    )
+    want = (
+        QUERIES["hourly_ohlc"]
+        .build(spark, sf_dir)
+        .withColumnRenamed("hour", "window_start")
+    )
+    _assert_same(got, want)
