@@ -608,6 +608,129 @@ def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ols_price_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                    AS BIGINT) AS x,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,2)) AS sxy
+        FROM pts
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+    FROM s
+    """,
+    tags=("regression", "ols", "sufficient-statistics"),
+)
+def ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares: order price regressed on order date
+    (days since 1995-01-01), via sufficient statistics — one
+    mergeable aggregate pass collecting (n, Σx, Σx², Σy, Σxy), then
+    closed-form slope/intercept.
+
+    The scalable regression shape at 100 TB: partials combine
+    map-side, nothing but five numbers cross the shuffle. Integer x
+    and DECIMAL y keep every sum EXACT regardless of partitioning;
+    the final double arithmetic is an identical IEEE op sequence on
+    both engines, so the fit matches bit-for-bit with no rounding.
+    """
+    o = load(spark, "orders", sf_dir)
+    pts = o.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y"))
+        .cast("decimal(38,2)")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+@query(
+    "embedding_quantization",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS DOUBLE) AS scale,
+           CAST(list_max(list_transform(embedding, x ->
+                abs(CAST(x AS DOUBLE)
+                    - floor(CAST(x AS DOUBLE)
+                            / (list_max(list_transform(embedding,
+                               y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+                            + 0.5)
+                      * (list_max(list_transform(embedding,
+                         y -> abs(CAST(y AS DOUBLE)))) / 127.0))))
+                AS DOUBLE) AS max_abs_err
+    FROM embeddings
+    WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+    """,
+    tags=("vector", "quantization", "hof", "embeddings"),
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization audit: per-embedding scale
+    (max|x|/127) and the worst-case reconstruction error of
+    round-to-nearest int8 — the compression check a vector store runs
+    before shipping quantized embeddings to training.
+
+    Pure JVM higher-order array functions (transform/aggregate) — no
+    Python, no shuffle: embarrassingly parallel over the scan. The
+    rounding is spelled floor(x/scale + 0.5) so both engines follow
+    the identical IEEE op sequence (no round() half-up-vs-even
+    divergence), making the doubles bit-exact.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    absd = lambda c: F.abs(c.cast("double"))  # noqa: E731
+    max_abs = F.array_max(F.transform(F.col("embedding"), absd))
+    scale = (max_abs / F.lit(127.0)).alias("scale")
+    err = F.array_max(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                x.cast("double")
+                - F.floor(x.cast("double") / (max_abs / F.lit(127.0)) + F.lit(0.5))
+                * (max_abs / F.lit(127.0))
+            ),
+        )
+    ).alias("max_abs_err")
+    return emb.filter(max_abs > 0).select("vec_id", scale, err)
+
+
+@query(
     "stream_hourly_ohlc",
     oracle="""
     WITH e AS (
