@@ -682,6 +682,102 @@ def ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "brand_affinity_cosine",
+    oracle="""
+    WITH baskets AS (
+        SELECT o_custkey AS cust, p_brand AS brand,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT brand, CAST(SUM(q * q) AS BIGINT) AS nrm2
+        FROM baskets GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+        FROM baskets a
+        JOIN baskets b ON a.cust = b.cust AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, dot,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.brand = brand_a
+    JOIN norms nb ON nb.brand = brand_b
+    """,
+    tags=("collaborative-filtering", "similarity", "join"),
+)
+def brand_affinity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative similarity: cosine between brands over
+    customer purchase-quantity vectors (the classic CF preprocessing
+    step, brands as sparse vectors indexed by customer).
+
+    Distributed shape: the sparse dot products come from a self-join
+    keyed on the CUSTOMER (bounded basket fan-out — never an
+    all-pairs brand join), aggregated with map-side partials; the
+    tiny per-brand norm table broadcasts onto the pair results.
+    Integer quantities make every dot/norm exact, so the cosine is a
+    bit-identical IEEE sequence on both engines — no rounding slack.
+    """
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("long").alias("q0")
+    )
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    p = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    baskets = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.sum("q0").alias("q"))
+    )
+    norms = baskets.groupBy("brand").agg(
+        F.sum(F.col("q") * F.col("q")).alias("nrm2")
+    )
+    a = baskets.select(
+        "cust", F.col("brand").alias("brand_a"), F.col("q").alias("qa")
+    )
+    b = baskets.select(
+        F.col("cust").alias("cust2"),
+        F.col("brand").alias("brand_b"),
+        F.col("q").alias("qb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (a["cust"] == b["cust2"]) & (a["brand_a"] < b["brand_b"]),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = F.broadcast(norms.select(F.col("brand").alias("brand_a"), F.col("nrm2").alias("nrm2_a")))
+    nb = F.broadcast(norms.select(F.col("brand").alias("brand_b"), F.col("nrm2").alias("nrm2_b")))
+    return (
+        dots.join(na, "brand_a")
+        .join(nb, "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nrm2_a").cast("double"))
+                    * F.sqrt(F.col("nrm2_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
+@query(
     "embedding_quantization",
     oracle="""
     SELECT vec_id,
