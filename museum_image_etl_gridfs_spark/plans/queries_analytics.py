@@ -607,6 +607,98 @@ def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_WINDOW_TEXT = """
+    SELECT c_mktsegment, c_name, c_acctbal, seg_rank
+    FROM (
+        SELECT c_mktsegment, c_name, c_acctbal,
+               CAST(RANK() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey)
+                    AS BIGINT) AS seg_rank
+        FROM customer
+    ) ranked
+    WHERE seg_rank <= 3
+"""
+
+
+@query(
+    "sql_surface_windows",
+    oracle=_SQL_WINDOW_TEXT,
+    tags=("sql-api", "window", "rank"),
+)
+def sql_surface_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI window functions through the SQL API end-to-end: the
+    engine registers its catalog and executes the EXACT oracle text
+    with ``spark.sql`` — a user's existing windowed SQL runs
+    unchanged (the windowed sibling of forecast_revenue_change's Q6
+    SQL-API proof). Plans as one partition-local sort + rank per
+    segment, no global ordering.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_WINDOW_TEXT)
+
+
+@query(
+    "nation_share_of_region",
+    oracle="""
+    WITH nr AS (
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS rev
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+           / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+    FROM nr
+    """,
+    tags=("ratio-to-parent", "window", "join"),
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent in the region→nation hierarchy: each nation's
+    fraction of its region's revenue (the ratio_to_report window
+    shape). Revenue sums stay DECIMAL through the window so partial
+    order never matters; one double division at the end is bit-exact
+    both engines. Dim joins broadcast; the window partitions by
+    region over an already-aggregated (region, nation) relation —
+    25 rows, not the fact table.
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = load(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    nr = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return nr.select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
 @query(
     "ols_price_trend",
     oracle="""
