@@ -607,6 +607,60 @@ def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_unconverted_clicks",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id AS cu, event_id AS click_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id AS pu, event_id AS purchase_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT cu AS user_id, click_id, purchase_id
+    FROM clicks JOIN purch
+      ON pu = cu AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT cu AS user_id, click_id, CAST(NULL AS BIGINT) AS purchase_id
+    FROM clicks
+    WHERE NOT EXISTS (
+        SELECT 1 FROM purch
+        WHERE pu = cu AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
+    )
+      AND cts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    """,
+    tags=("streaming", "stream-stream-join", "outer-join", "extension"),
+)
+def stream_unconverted_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join
+    (streaming/events.py::stream_click_purchase_left_outer): clicks
+    paired with in-window purchases, null-extended once the watermark
+    proves no purchase can still arrive.
+
+    Evidence-of-absence is the semantics only a watermark can
+    certify on a stream; the oracle replays the emission rule exactly
+    — unmatched clicks emit iff click_ts + 30 min < max(ts) - 1 h
+    (the final watermark), younger clicks stay buffered at stream
+    end. State for both sides evicts continuously at watermark + lag,
+    the only viable shape on an unbounded stream.
+    """
+    import uuid
+
+    from ..streaming.events import (
+        events_stream,
+        run_to_memory,
+        stream_click_purchase_left_outer,
+    )
+
+    return run_to_memory(
+        stream_click_purchase_left_outer(events_stream(spark, sf_dir)),
+        f"q_louter_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
 _SQL_WINDOW_TEXT = """
     SELECT c_mktsegment, c_name, c_acctbal, seg_rank
     FROM (

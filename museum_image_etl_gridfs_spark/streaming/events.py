@@ -377,6 +377,57 @@ def run_to_parquet(
     q.awaitTermination()
 
 
+def stream_click_purchase_left_outer(
+    events: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits —
+    paired with in-window purchases when they exist, null-extended
+    once the watermark PROVES no purchase can still arrive.
+
+    The outer side is the semantics inner joins can't give a stream:
+    "clicks that did NOT convert" requires evidence of absence, which
+    only the watermark can certify. A click's null row emits when the
+    global watermark passes click_ts + max_lag; clicks younger than
+    that at stream end stay buffered (no emission) — the oracle
+    models exactly that cutoff.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + interval {max_lag}"""
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+    )
+
+
 def run_to_memory(
     stream: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
