@@ -608,6 +608,108 @@ def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_bigram_counts",
+    oracle="""
+    WITH w AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    g AS (
+        SELECT unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(range(1, len(w)),
+                                          i -> w[i] || ' ' || w[i + 1]) END)
+               AS bigram
+        FROM w
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM g GROUP BY 1 HAVING count(*) >= 40
+    """,
+    tags=("udtf", "lateral", "text"),
+)
+def udtf_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.10 UDTF surface, driver-verified: a Python UDTF
+    (one row in, N rows out) registered in the catalog and invoked
+    through a SQL LATERAL join, then aggregated.
+
+    The UDTF is the escape hatch for row-expanding logic Spark's
+    generators can't express (cursor walks, recursive descent —
+    sources/paginated.py is the production use); here a bigram
+    expander keeps the oracle exact. Python is the slow path — the
+    JVM lead()-window form in frequent_bigrams is the production
+    shape — so this query exists to pin the UDTF execution path
+    itself (BatchEvalPythonUDTF) end-to-end against SQL.
+    """
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import register_views
+
+    @udtf(returnType="bigram string")
+    class BigramsUDTF:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.strip().lower().split()
+            for a, b in zip(toks, toks[1:]):
+                yield (f"{a} {b}",)
+
+    spark.udtf.register("bigrams_udtf", BigramsUDTF)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT b.bigram, CAST(count(*) AS BIGINT) AS n
+        FROM documents d, LATERAL bigrams_udtf(d.text) b
+        GROUP BY b.bigram HAVING count(*) >= 40
+        """
+    )
+
+
+@query(
+    "partitioned_sink_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    tags=("sink", "partitioned-write", "roundtrip"),
+)
+def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet SINK, driver-verified via write → re-read:
+    orders written partitionBy(o_orderstatus) to scratch, read back
+    with a partition filter, hash-checked against the source-side SQL.
+
+    What this pins: (a) the writer round-trips values losslessly
+    (including the timestamp-derived month column), (b) the
+    partition-column filter on re-read prunes DIRECTORIES, not rows —
+    the layout that turns a 100 TB scan into a partition-sized one.
+    Hive-style partition values come back as strings; the explicit
+    cast restores the column's type contract.
+    """
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), "museum_etl_sink_demo", os.path.basename(sf_dir)
+    )
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderstatus"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        "month",
+    )
+
+
+@query(
     "stream_unconverted_clicks",
     oracle="""
     WITH clicks AS (
