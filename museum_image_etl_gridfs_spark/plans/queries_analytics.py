@@ -608,6 +608,63 @@ def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "applyinpandas_gap_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               t - lag(t) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS gap
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS t FROM events)
+    )
+    SELECT user_id,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(quantile_cont(gap, 0.5) AS DOUBLE) AS median_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("applyInPandas", "grouped-map", "udf", "events"),
+)
+def applyinpandas_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.10 grouped-map surface (``applyInPandas`` /
+    FlatMapGroupsInPandas): per-user inter-event gap statistics
+    computed as an arbitrary pandas function over each group.
+
+    The grouped-map path is the escape hatch when per-group logic
+    needs a real dataframe (sorting, diffs, model fits) rather than
+    an aggregate expression. One shuffle on the group key; the oracle
+    reaches the same rows through a lag window. pandas' interpolated
+    median over integer microsecond gaps ≡ DuckDB quantile_cont(0.5)
+    (average of two middle integers — exact in double).
+    """
+    import pandas as pd
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["t", "event_id"])
+        gaps = pdf["t"].diff().dropna()
+        if gaps.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_gaps", "median_gap_us", "max_gap_us"]
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(gaps)],
+                "median_gap_us": [float(gaps.median())],
+                "max_gap_us": [int(gaps.max())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        stats, "user_id long, n_gaps long, median_gap_us double, max_gap_us long"
+    )
+
+
+@query(
     "udtf_bigram_counts",
     oracle="""
     WITH w AS (
