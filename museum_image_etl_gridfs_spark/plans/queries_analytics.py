@@ -384,7 +384,12 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ne = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("ow")).alias("nw")
     )
-    ne = ne.persist()
+    # truncate lineage before iterating: without this each iteration
+    # replans (and AQE re-optimizes) the whole edge-extraction DAG,
+    # and the plan depth grows linearly with iterations. Edges
+    # materialize once on the executors; each subsequent iteration
+    # plans only join→agg over the checkpointed relation.
+    ne = ne.localCheckpoint(eager=True)
     n_nodes = float(outw.count())
     ranks = outw.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr")
@@ -400,7 +405,7 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr")
             )
             .select(F.col("dst").alias("node"), "pr")
-        )
+        ).localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("brand"), F.round("pr", 9).alias("pr")
     )
