@@ -613,6 +613,68 @@ def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "python_datasource_scan",
+    oracle="""
+    SELECT doc_id, 200 AS status, lang, n_chars
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("datasource", "rest-scan", "S1", "S2"),
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S1/S2 driver-verified: the ``format("museum_api")``
+    Python DataSource (id-partitioned REST document scan,
+    sources/museum_api.py) run end-to-end — id splits fan out across
+    partitions, each split fetches its documents, JSON bodies parse
+    relationally — and hash-checked against the same rows read
+    straight from parquet.
+
+    The hermetic ``canned_json`` transport serves the per-id payloads
+    (built here from the documents table, first 100 ids — bounded at
+    every SF); it is the SAME reader code path as the live-HTTP
+    transport minus the socket, so this pins the connector's
+    partitioning, fetch loop, and Arrow return path, which were
+    previously covered by pytest only.
+    """
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.museum_api import MuseumApiDataSource
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    ).to_pylist()
+    canned = {
+        str(r["doc_id"]): {"lang": r["lang"], "n_chars": int(r["n_chars"])}
+        for r in tbl
+        if r["doc_id"] < 100
+    }
+    ids = sorted(int(k) for k in canned)
+    spark.dataSource.register(MuseumApiDataSource)
+    raw = (
+        spark.read.format("museum_api")
+        .option("ids", ",".join(str(i) for i in ids))
+        .option("canned_json", _json.dumps(canned))
+        .option("partitions", "8")
+        .load()
+    )
+    parsed = F.from_json(
+        F.col("body"), "lang string, n_chars int"
+    ).alias("doc")
+    return raw.select(
+        F.col("object_id").alias("doc_id"), "status", parsed
+    ).select(
+        "doc_id",
+        "status",
+        F.col("doc.lang").alias("lang"),
+        F.col("doc.n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@query(
     "applyinpandas_gap_stats",
     oracle="""
     WITH g AS (
