@@ -613,6 +613,60 @@ def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "http_ingest_pipeline",
+    oracle="""
+    SELECT doc_id AS object_id,
+           CAST((doc_id * 7) % 97 AS INTEGER) AS k,
+           'obj-' || CAST(doc_id AS VARCHAR) AS title
+    FROM documents
+    WHERE doc_id % 10 <> 0
+    """,
+    tags=("rest-ingest", "S2", "F1", "U1", "mapInPandas"),
+)
+def http_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ingestion loop (src/ingestion.py:38-57) as a
+    driver-verified Spark pipeline: id list from a table (S1) →
+    partition-batched per-id fetch (S2/U1, sources/http.py) → HTTP
+    status filter (F1) → JSON body projection (C2).
+
+    The injected transport is a pure function of the URL (404 for
+    every 10th id, else a JSON document derived arithmetically from
+    the id), so the whole pipeline — including the dropped-row path —
+    is deterministic and the oracle reproduces it relationally. Same
+    fetch/filter/parse code as the live-network path, minus sockets.
+    """
+    import json as _json
+
+    from ..sources.http import fetch_json
+
+    ids = load(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("object_id")
+    )
+
+    def url_for(i: int) -> str:
+        return f"https://museum.invalid/objects/{i}"
+
+    def transport(url: str):
+        i = int(url.rsplit("/", 1)[1])
+        if i % 10 == 0:
+            return 404, b""
+        doc = {"k": (i * 7) % 97, "title": f"obj-{i}"}
+        return 200, _json.dumps(doc).encode()
+
+    fetched = fetch_json(ids, url_for, transport)
+    parsed = F.from_json(F.col("body"), "k int, title string").alias("doc")
+    return (
+        fetched.filter(F.col("status") == 200)
+        .select("object_id", parsed)
+        .select(
+            "object_id",
+            F.col("doc.k").alias("k"),
+            F.col("doc.title").alias("title"),
+        )
+    )
+
+
+@query(
     "python_datasource_scan",
     oracle="""
     SELECT doc_id, 200 AS status, lang, n_chars
