@@ -667,6 +667,57 @@ def http_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "binary_fetch_pipeline",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 200 END AS INTEGER)
+               AS data_status,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(32 AS INTEGER) END AS n_bytes,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE md5(CAST(doc_id AS VARCHAR)) END AS body_str
+    FROM documents
+    """,
+    tags=("binary-fetch", "S3", "F2", "mapInPandas"),
+)
+def binary_fetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S3/F2 driver-verified: per-row binary blob fetch
+    (sources/http.py::fetch_binary) with the empty-URL quarantine
+    path — empty URLs short-circuit to status 0 with a NULL blob and
+    SURVIVE as quarantine rows (F2 leaves the drop to the caller).
+
+    The transport returns the md5 hex digest of the id as the blob,
+    so blob bytes, lengths, and the quarantine pattern are all
+    SQL-reproducible. Same fetch code as the live path minus sockets.
+    """
+    from ..sources.http import fetch_binary
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("https://museum.invalid/images/"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("url"),
+    )
+
+    def transport(url: str):
+        import hashlib as _hl
+
+        i = url.rsplit("/", 1)[1]
+        return 200, _hl.md5(i.encode()).hexdigest().encode()
+
+    fetched = fetch_binary(docs, "url", transport)
+    return fetched.select(
+        "doc_id",
+        "data_status",
+        F.length(F.col("data")).alias("n_bytes"),
+        F.col("data").cast("string").alias("body_str"),
+    )
+
+
+@query(
     "python_datasource_scan",
     oracle="""
     SELECT doc_id, 200 AS status, lang, n_chars
