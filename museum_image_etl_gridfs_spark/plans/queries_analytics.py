@@ -667,6 +667,59 @@ def http_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_merge_sink_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    tags=("streaming", "foreachBatch", "merge-sink", "cdc"),
+)
+def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink, driver-verified: a keyed table is
+    seeded with a STALE snapshot (even event_ids, values corrupted by
+    +1000), the full event stream is applied through
+    ``run_foreach_batch_upsert`` (availableNow CDC-apply), and the
+    table is read back.
+
+    A correct MERGE must overwrite every stale row and insert every
+    missing one, so the final state equals the clean events table —
+    anything less (missed matches, dropped inserts, duplicate keys)
+    hash-mismatches the oracle. The sink surface was previously
+    pytest-only.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import events_stream, run_foreach_batch_upsert
+
+    root = os.path.join(
+        tempfile.gettempdir(), "museum_etl_merge_demo", os.path.basename(sf_dir)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    stale = (
+        load(spark, "events", sf_dir)
+        .select(*cols)
+        .filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+    )
+    stale.write.parquet(target)
+
+    run_foreach_batch_upsert(
+        events_stream(spark, sf_dir).select(*cols),
+        target,
+        ["event_id"],
+        ckpt,
+    )
+    return spark.read.parquet(target).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
     "binary_fetch_pipeline",
     oracle="""
     SELECT doc_id,
