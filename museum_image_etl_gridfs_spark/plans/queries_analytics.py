@@ -667,6 +667,88 @@ def http_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "big_spender_segments_intersect",
+    oracle="""
+    SELECT c_mktsegment
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WHERE n_regionkey = 0 AND c_acctbal > 1000
+    INTERSECT
+    SELECT c_mktsegment
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WHERE n_regionkey = 1 AND c_acctbal > 1000
+    """,
+    tags=("set-op", "intersect"),
+)
+def big_spender_segments_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (§2.7 completion — UNION and EXCEPT are covered by
+    nation_roles_union / rich_customer_nations_except): market
+    segments with high-balance customers in BOTH region 0 and
+    region 1. Spark plans ``intersect`` as a distinct + left-semi
+    hash join — both sides pre-filtered at the scan.
+    """
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
+    base = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).filter(
+        F.col("c_acctbal") > 1000
+    )
+    r0 = base.filter(F.col("n_regionkey") == 0).select("c_mktsegment")
+    r1 = base.filter(F.col("n_regionkey") == 1).select("c_mktsegment")
+    return r0.intersect(r1)
+
+
+@query(
+    "acctbal_distribution_ranks",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               nth_value(c_name, 3) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS third_richest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal, pr, cd, third_richest
+    FROM ranked
+    WHERE c_custkey % 50 = 0
+    """,
+    tags=("window", "percent_rank", "cume_dist", "nth_value"),
+)
+def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window-function completion: percent_rank, cume_dist, and
+    nth_value over a deterministic (balance DESC, key) ordering.
+    Both are exact rationals of integer rank/count — one IEEE
+    division each, bit-identical across engines. The full-frame
+    nth_value pins frame semantics beyond the default
+    running frame. Output restricted to every 50th customer to keep
+    the hashed result bounded while ranks still come from the FULL
+    segment windows.
+    """
+    from pyspark.sql import Window
+
+    c = load(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.nth_value("c_name", 3).over(w_full).alias("third_richest"),
+        )
+        .filter(F.col("c_custkey") % 50 == 0)
+    )
+
+
+@query(
     "stream_merge_sink_roundtrip",
     oracle="""
     SELECT event_id, user_id, event_type, value FROM events
