@@ -147,21 +147,41 @@ _SENTINELS = (
 )
 
 
-def _priority(q: Query) -> int:
+#: never-verified queries deliberately sorted to the BACK of the
+#: unverified band: the round-3 additions outnumber the driver's
+#: 50-row budget, so when something must overflow the prefix, prefer
+#: deferring simple pure-Catalyst SQL shapes (lowest novel-code risk;
+#: all locally oracle-green) over novel-operator queries (sketches,
+#: skyline, UDAF/UDTF, sinks, custom sources).
+_BAND0_LAST = frozenset(
+    {
+        "big_spender_segments_intersect",
+        "acctbal_distribution_ranks",
+        "sql_surface_windows",
+        "nation_share_of_region",
+        "fuzzy_name_matches",
+        "hourly_ohlc",  # its streaming twin is prefix-checked and the
+        # batch/stream pair is pinned equal in tests/test_streaming.py
+    }
+)
+
+
+def _priority(q: Query) -> tuple[int, int]:
     """Sort key placing driver-unverified queries in the checked prefix.
 
-    0: never driver-verified in any round (r1 ∪ r2)
+    0: never driver-verified in any round (r1 ∪ r2) — within the band,
+       ``_BAND0_LAST`` members sort after the rest
     1: sentinel re-checks — one per fixture-sensitive family
     2: r1 rows-only checks never re-run (golden files also cover these)
     3: already verified in round 1 or 2
     """
     if q.name not in _VERIFIED:
-        return 0
+        return (0, 1 if q.name in _BAND0_LAST else 0)
     if q.name in _SENTINELS:
-        return 1
+        return (1, 0)
     if q.oracle is None and q.name not in _VERIFIED_R02:
-        return 2
-    return 3
+        return (2, 0)
+    return (3, 0)
 
 
 def all_queries() -> dict[str, Query]:
@@ -173,5 +193,5 @@ def all_queries() -> dict[str, Query]:
     """
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    ordered = sorted(_REGISTRY.values(), key=lambda q: (_priority(q), 0))
+    ordered = sorted(_REGISTRY.values(), key=_priority)
     return {q.name: q for q in ordered}
