@@ -1,11 +1,25 @@
-"""Advanced analytics operators added round 3, session 2: sketch-based
-heavy hitters, distributed skyline, pandas UDAF surface, table
-fingerprints, argmin/argmax OHLC bars, blocked fuzzy entity
-resolution, and iterative PageRank — each with an exact DuckDB oracle.
+"""Advanced analytics wave (round 3): operators and surfaces beyond
+the earlier families, each with an exact DuckDB oracle.
 
-The reference (a 501-LoC pymongo ETL) has none of these; they complete
-the large-scale training-data/analytics surface SURVEY.md §2 scopes
-for the Spark engine.
+- sketch/geometry: count-min heavy hitters, distributed SFS skyline
+- stats/ML: distributed OLS (sufficient statistics), A/B z-test,
+  time-decay features, int8 quantization audit, item-item CF cosine,
+  iterative PageRank
+- temporal: argmin/argmax OHLC (batch + streaming), sweep-line peak
+  concurrency
+- integrity: order-insensitive table checksums, blocked fuzzy entity
+  resolution
+- engine surfaces, driver-verified: grouped-agg pandas UDAF, python
+  UDTF via LATERAL, grouped-map applyInPandas, SQL-API windows,
+  INTERSECT, percent_rank/cume_dist/nth_value, partitioned parquet
+  sink round-trip, foreachBatch MERGE sink round-trip, the
+  format("museum_api") Python DataSource and the batch-HTTP/binary
+  fetch pipelines on their hermetic transports, stream-stream LEFT
+  OUTER interval join
+
+The reference (a 501-LoC pymongo ETL) has none of these; they
+complete the large-scale training-data/analytics surface the task
+brief scopes for the Spark engine (SURVEY.md §2.12 / COVERAGE.md).
 """
 
 from __future__ import annotations
