@@ -681,6 +681,94 @@ def http_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_top_paths",
+    oracle="""
+    WITH ep AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    gapped AS (
+        SELECT user_id, event_id, event_type, t,
+               CASE WHEN LAG(t) OVER w IS NULL THEN 1
+                    WHEN t - LAG(t) OVER w > 1800000000 THEN 1
+                    ELSE 0 END AS ns
+        FROM ep
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, event_type, t,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gapped
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               array_to_string(
+                   list_slice(list(event_type ORDER BY t, event_id), 1, 5),
+                   '>') AS path
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM paths GROUP BY 1 HAVING count(*) >= 20
+    """,
+    tags=("path-analysis", "sessionization", "events"),
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics path analysis: the ordered event-type
+    sequence of each 30-min-gap session (first 5 steps), counted
+    across sessions — "what do users actually do in a session".
+
+    The per-session sequence is built with sort_array over collected
+    (t, event_id, type) structs — grouped aggregation with map-side
+    partials on the session key, no per-row window pass — then
+    sliced, projected to types, and joined into a path string, all
+    JVM expressions. Deterministic via the (t, event_id) tiebreak.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("t", "event_id")
+    ns = F.when(
+        F.lag("t").over(w_order).isNull()
+        | ((F.col("t") - F.lag("t").over(w_order)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t",
+        F.sum(ns)
+        .over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    paths = numbered.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("t", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                5,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+@query(
     "big_spender_segments_intersect",
     oracle="""
     SELECT c_mktsegment
