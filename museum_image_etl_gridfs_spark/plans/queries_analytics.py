@@ -681,6 +681,79 @@ def http_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_sink_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("sink", "orc", "roundtrip"),
+)
+def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange, driver-verified: the nation table written to
+    ORC (sources/files.py handles the batch interchange surface) and
+    read back, hash-checked against the parquet source of truth —
+    pins type round-tripping through a second columnar format.
+    """
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), "museum_etl_orc_demo", os.path.basename(sf_dir)
+    )
+    n = load(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
+    "json_quarantine_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_ok,
+           CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined,
+           CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 0
+                         ELSE CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                                   AS BIGINT) END) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("quarantine", "error-handling", "json", "2.11"),
+)
+def json_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.11 driver-verified: PERMISSIVE-style bad-record
+    quarantine. A deterministic fault injector truncates every 13th
+    props payload; ``from_json`` returns NULL for the malformed rows,
+    which are counted into a quarantine column instead of being
+    dropped silently (the reference's try/except-continue pattern,
+    src/ingestion.py:51, made observable). Good rows aggregate
+    normally — the oracle reproduces both populations exactly.
+    """
+    ev = load(spark, "events", sf_dir)
+    body = F.when(
+        F.col("event_id") % 13 == 0, F.substring(F.col("props"), 1, 3)
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(body, "k long")
+    return (
+        ev.select(
+            "event_type",
+            parsed["k"].alias("k"),
+            F.when(parsed["k"].isNull(), 1).otherwise(0).alias("bad"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.lit(1) - F.col("bad")).alias("n_ok"),
+            F.sum("bad").alias("n_quarantined"),
+            F.sum(F.when(F.col("bad") == 0, F.col("k")).otherwise(0)).alias(
+                "sum_k"
+            ),
+        )
+    )
+
+
+@query(
     "session_top_paths",
     oracle="""
     WITH ep AS (
