@@ -139,42 +139,36 @@ def cms_heavy_hitters(
         yield pd.concat([cand_df, cms_df, total_df], ignore_index=True)
 
     passed = src.mapInPandas(one_pass, _PASS_SCHEMA)
-    passed = passed.persist()
-    try:
-        # merge sketch partials (tiny: ≤ depth*width rows after groupBy)
-        merged = (
-            passed.filter(F.col("kind") == "cms")
-            .groupBy("cms_row", "pos")
-            .agg(F.sum("val").alias("val"))
-            .collect()
-        )
-        total = (
-            passed.filter(F.col("kind") == "total")
-            .agg(F.sum("val"))
-            .collect()[0][0]
-        )
-        cms = {}
-        for row in merged:
-            cms[(row["cms_row"], row["pos"])] = row["val"]
-        threshold = int(math.ceil(threshold_frac * (total or 0)))
-
-        # candidate set: union of local candidates; prune by the CMS
-        # upper bound (min over rows ≥ exact count, so safe).
-        cand_rows = (
-            passed.filter(F.col("kind") == "cand")
-            .groupBy("item")
-            .agg(F.sum("local_count").alias("emitted"))
-            .collect()
-        )
-        survivors = []
-        for row in cand_rows:
-            est = min(
-                cms.get((r, _bucket(r, row["item"], width)), 0) for r in range(depth)
+    # ONE action over the one-pass output (it is tiny: ≤ depth·width
+    # sketch cells + ~64 candidates + 1 total row per partition); the
+    # sketch merge, grand total, and candidate union all reduce
+    # driver-side from the same collected rows — no persist, no risk
+    # of re-running the corpus scan for a second/third job.
+    rows = passed.collect()
+    cms: dict[tuple[int, int], int] = {}
+    total = 0
+    cand_counts: dict[str, int] = {}
+    for row in rows:
+        kind = row["kind"]
+        if kind == "cms":
+            key = (row["cms_row"], row["pos"])
+            cms[key] = cms.get(key, 0) + row["val"]
+        elif kind == "total":
+            total += row["val"]
+        else:  # candidate
+            cand_counts[row["item"]] = (
+                cand_counts.get(row["item"], 0) + row["local_count"]
             )
-            if est >= threshold:
-                survivors.append(row["item"])
-    finally:
-        passed.unpersist()
+    threshold = int(math.ceil(threshold_frac * total))
+
+    # prune the candidate union by the CMS upper bound (min over rows
+    # ≥ exact count, so pruning is false-negative-free).
+    survivors = [
+        item
+        for item in cand_counts
+        if min(cms.get((r, _bucket(r, item, width)), 0) for r in range(depth))
+        >= threshold
+    ]
 
     if not survivors:
         return spark.createDataFrame([], "item string, freq long")

@@ -48,8 +48,14 @@ def _skyline_mask(X) -> "list[int]":
     n = len(X)
     if n == 0:
         return []
-    # SFS order: if a dominates b then sum(a) < sum(b), so scanning by
-    # ascending sum means only already-accepted points can dominate.
+    # SFS order: in exact arithmetic strict dominance implies a
+    # strictly smaller sum, so scanning by ascending sum means only
+    # already-accepted points can dominate a new point. float64
+    # rounding can break that invariant for near-equal sums (a
+    # dominated point's sum can ROUND equal to its dominator's and be
+    # scanned first), so acceptance below also evicts any accepted
+    # point the new point dominates — correctness no longer leans on
+    # the ordering, which remains purely a pruning heuristic.
     order = np.argsort(X.sum(axis=1), kind="stable")
     Xs = X[order]
     sky = np.empty((0, X.shape[1]), dtype=X.dtype)
@@ -65,18 +71,26 @@ def _skyline_mask(X) -> "list[int]":
             dom = (le & ne).any(-1)
         else:
             dom = np.zeros(len(chunk), dtype=bool)
-        # intra-chunk: an accepted row knocks out later (larger-sum)
-        # rows it dominates
+        # intra-chunk: an accepted row knocks out later rows it
+        # dominates
         for i in range(len(chunk)):
             if dom[i]:
                 continue
+            if len(sky):
+                # evict accepted points the new point dominates
+                # (possible only under sum-rounding ties)
+                beats = (chunk[i] <= sky).all(-1) & (chunk[i] != sky).any(-1)
+                if beats.any():
+                    keep_mask = ~beats
+                    sky = sky[keep_mask]
+                    kept = [k for k, m in zip(kept, keep_mask) if m]
             kept.append(int(order[start + i]))
             sky = np.vstack([sky, chunk[i : i + 1]])
             if i + 1 < len(chunk):
                 dom[i + 1 :] |= (chunk[i + 1 :] >= chunk[i]).all(-1) & (
                     chunk[i + 1 :] != chunk[i]
                 ).any(-1)
-    return kept
+    return sorted(kept)
 
 
 def skyline(
@@ -112,4 +126,9 @@ def skyline(
         yield pdf.iloc[sorted(_skyline_mask(X))]
 
     local_sky = df.mapInPandas(local, schema)
-    return local_sky.coalesce(1).mapInPandas(local, schema)
+    # repartition(1), NOT coalesce(1): coalesce is a narrow
+    # dependency, so it would collapse phase 1 into the same single
+    # task and feed the WHOLE dataset to one pandas worker. The
+    # shuffle boundary keeps phase 1 parallel on the scan partitions
+    # and moves only the per-partition frontiers.
+    return local_sky.repartition(1).mapInPandas(local, schema)

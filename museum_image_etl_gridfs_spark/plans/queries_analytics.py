@@ -432,7 +432,7 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, epoch_us(ts) AS t FROM events
     ),
     gapped AS (
-        SELECT user_id, t,
+        SELECT user_id, event_id, t,
                CASE WHEN LAG(t) OVER w IS NULL THEN 1
                     WHEN t - LAG(t) OVER w > 1800000000 THEN 1
                     ELSE 0 END AS new_session
@@ -441,7 +441,8 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, t,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
         FROM gapped
     ),
@@ -695,9 +696,12 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import tempfile
+    import uuid
 
     out = os.path.join(
-        tempfile.gettempdir(), "museum_etl_orc_demo", os.path.basename(sf_dir)
+        tempfile.gettempdir(),
+        "museum_etl_orc_demo",
+        f"{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
     )
     n = load(spark, "nation", sf_dir).select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -709,15 +713,30 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_quarantine_stats",
     oracle="""
+    WITH injected AS (
+        SELECT event_type,
+               CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 3)
+                    ELSE props END AS body
+        FROM events
+    ),
+    parsed AS (
+        -- quarantine keyed on the PARSE OUTCOME of the corrupted
+        -- body (like Spark's from_json), not on the injection
+        -- condition: a naturally malformed/missing-k payload counts
+        -- as quarantined on both engines. TRY_CAST keeps the oracle
+        -- crash-proof on no-match extracts.
+        SELECT event_type,
+               TRY_CAST(regexp_extract(body, '"k":\\s*(\\d+)', 1) AS BIGINT)
+                   AS k
+        FROM injected
+    )
     SELECT event_type,
-           CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           CAST(SUM(CASE WHEN k IS NULL THEN 0 ELSE 1 END) AS BIGINT)
                AS n_ok,
-           CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_quarantined,
-           CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 0
-                         ELSE CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
-                                   AS BIGINT) END) AS BIGINT) AS sum_k
-    FROM events
+           CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k
+    FROM parsed
     GROUP BY event_type
     """,
     tags=("quarantine", "error-handling", "json", "2.11"),
@@ -944,15 +963,18 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-only.
     """
     import os
-    import shutil
     import tempfile
+    import uuid
 
     from ..streaming.events import events_stream, run_foreach_batch_upsert
 
+    # per-run unique root (see partitioned_sink_roundtrip): no rmtree
+    # needed and no cross-process races on the target/checkpoint
     root = os.path.join(
-        tempfile.gettempdir(), "museum_etl_merge_demo", os.path.basename(sf_dir)
+        tempfile.gettempdir(),
+        "museum_etl_merge_demo",
+        f"{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
     )
-    shutil.rmtree(root, ignore_errors=True)
     target = os.path.join(root, "target")
     ckpt = os.path.join(root, "ckpt")
 
@@ -1185,9 +1207,19 @@ def udtf_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="bigram string")
     class BigramsUDTF:
         def eval(self, text: str):
+            # mirror the oracle's lower(trim(text)) + regex '\s+'
+            # EXACTLY: SQL trim() strips spaces only, and RE2 \s is
+            # the ASCII class — python .strip()/.split() are
+            # Unicode-aware and drop leading empty tokens, which
+            # would diverge on tab/newline-framed text
+            import re
+
             if text is None:
                 return
-            toks = text.strip().lower().split()
+            t = text.strip(" ").lower()
+            if t == "":
+                return
+            toks = re.split("[ \\t\\n\\r\\f\\v]+", t)
             for a, b in zip(toks, toks[1:]):
                 yield (f"{a} {b}",)
 
@@ -1226,9 +1258,14 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import tempfile
+    import uuid
 
+    # per-run unique dir: concurrent runs (pytest + oracle sweep)
+    # must not overwrite/delete files under each other's lazy reads
     out = os.path.join(
-        tempfile.gettempdir(), "museum_etl_sink_demo", os.path.basename(sf_dir)
+        tempfile.gettempdir(),
+        "museum_etl_sink_demo",
+        f"{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
     )
     o = load(spark, "orders", sf_dir).select(
         "o_orderkey",
@@ -1259,7 +1296,16 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id AS pu, event_id AS purchase_id, ts AS pts
         FROM events WHERE event_type = 'purchase'
     ),
-    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    -- Spark's GLOBAL watermark under the default min policy is the
+    -- minimum of the per-side watermarks, and each side's watermark
+    -- is computed over its own (post-filter) max event time — NOT
+    -- max(ts) over all events (the sides see only their filtered
+    -- streams).
+    wm AS (
+        SELECT least((SELECT max(cts) FROM clicks),
+                     (SELECT max(pts) FROM purch))
+               - INTERVAL 1 HOUR AS w
+    )
     SELECT cu AS user_id, click_id, purchase_id
     FROM clicks JOIN purch
       ON pu = cu AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
@@ -1282,10 +1328,12 @@ def stream_unconverted_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Evidence-of-absence is the semantics only a watermark can
     certify on a stream; the oracle replays the emission rule exactly
-    — unmatched clicks emit iff click_ts + 30 min < max(ts) - 1 h
-    (the final watermark), younger clicks stay buffered at stream
-    end. State for both sides evicts continuously at watermark + lag,
-    the only viable shape on an unbounded stream.
+    — unmatched clicks emit iff click_ts + 30 min < the final GLOBAL
+    watermark, which under Spark's default min multiple-watermark
+    policy is least(max click_ts, max purchase_ts) - 1 h (each side's
+    watermark tracks its own post-filter stream). Younger clicks stay
+    buffered at stream end. State for both sides evicts continuously
+    at watermark + lag, the only viable shape on an unbounded stream.
     """
     import uuid
 

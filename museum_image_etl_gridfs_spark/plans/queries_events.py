@@ -82,7 +82,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions",
     oracle="""
     WITH gapped AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          IS NULL THEN 1
                     WHEN date_diff('second',
@@ -93,7 +93,8 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM gapped
     )

@@ -89,3 +89,13 @@ def test_requires_criteria(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         skyline(df)
+
+
+def test_float_rounding_sum_tie_dominance(spark):
+    """sum(a) < sum(b) can ROUND equal in float64 (1e16 + 1.0 == 1e16);
+    the dominated row must still be evicted even when it is scanned
+    first (SFS ordering is only a heuristic, not a correctness crutch)."""
+    rows = [(1, 1.0e16, 1.0), (2, 1.0e16, 0.0)]  # 2 dominates 1
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r["id"] for r in skyline(df, minimize=["x", "y"]).collect()}
+    assert got == {2}
