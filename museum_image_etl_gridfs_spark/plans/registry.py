@@ -162,6 +162,9 @@ _BAND0_LAST = frozenset(
         "fuzzy_name_matches",
         "hourly_ohlc",  # its streaming twin is prefix-checked and the
         # batch/stream pair is pinned equal in tests/test_streaming.py
+        "ab_conversion_lift",
+        "table_checksums",
+        "orc_sink_roundtrip",
     }
 )
 
