@@ -284,31 +284,37 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM deltas
     ),
     agg AS (
-        SELECT user_id,
+        SELECT user_id, sid,
                MIN(tms) AS s_ms, MAX(tms) AS e_ms,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM sess GROUP BY user_id, sid
-    )
-    SELECT user_id,
+    ),
+    last AS (SELECT user_id, MAX(sid) AS last_sid FROM agg GROUP BY user_id)
+    SELECT agg.user_id,
            make_timestamp(s_ms * 1000) AS session_start,
            make_timestamp(e_ms * 1000) AS session_end,
            n_events
-    FROM agg
-    WHERE e_ms + 1800000 < (SELECT MAX(epoch_ms(ts)) - 1800000 FROM events)
+    FROM agg JOIN last ON agg.user_id = last.user_id
+    WHERE agg.sid < last.last_sid
+       OR e_ms + 1800000 < (SELECT MAX(epoch_ms(ts)) - 1800000 FROM events)
     """,
     tags=("streaming", "stateful", "timeout", "extension"),
 )
 def stream_expired_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time-timeout sessionization (applyInPandasWithState +
     GroupStateTimeout.EventTimeTimeout): per-user sessions that CLOSE
-    when the watermark passes last activity + 30 min, emitted in
-    append mode exactly once.
+    when the watermark passes last activity + 30 min — or the moment
+    a LATER event proves the gap (the in-batch split emits
+    immediately, no watermark needed) — emitted in append mode
+    exactly once.
 
     The oracle is the batch sessionization (lag/sum gap-split on
-    ms-truncated event time) restricted to sessions the final
-    watermark (max ts - 30 min delay) has provably closed — open
-    tails are withheld on both engines. Timeout firing is strict
-    (``timeout < watermark``), mirrored by the oracle's ``<``.
+    ms-truncated event time); its emission rule mirrors the operator
+    exactly: every non-last session per user is successor-closed (a
+    later event > 30 min after it exists by construction), and the
+    user's LAST session emits only when the final watermark
+    (max ts - 30 min delay) strictly passes its timeout. Only open
+    tails are withheld on both engines.
     """
     import uuid
 
