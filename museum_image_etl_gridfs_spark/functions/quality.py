@@ -104,3 +104,14 @@ def hash_bucket(key: Column | str, buckets: int = 1000) -> Column:
     k = F.col(key) if isinstance(key, str) else key
     hex8 = F.substring(F.md5(k.cast("string")), 1, 8)
     return (F.conv(hex8, 16, 10).cast("long") % buckets).cast("int")
+
+
+#: DuckDB mirror of :func:`words` over ``lower(text)`` — THE canonical
+#: oracle rendering of the tokenizer. Every plans-module oracle must
+#: use this single constant (importing it) rather than re-spelling the
+#: CASE expression: a tokenizer change then propagates to every oracle
+#: atomically instead of silently diverging per module.
+WORDS_SQL_LOWER = (
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)

@@ -35,27 +35,39 @@ def snapshot_diff_frames(
     Returns ``key, change_type ('added'|'removed'|'changed'),
     old_<c>, new_<c>`` for each tracked column ``c``.
 
+    A NULL key is treated as an ordinary (single) key value on both
+    sides — null-safe join + presence flags, so a NULL-keyed old row
+    classifies as removed/changed, never as a spurious 'added'. An
+    empty ``tracked`` degrades to a key-only added/removed diff.
+
     Spark full-outer gotcha (pinned in tests/test_diff.py): after
     ``a.join(b, "key", "full_outer")`` the key is coalesced and
     ``b["key"].isNull()`` silently stops detecting the missing side —
     so the keys are renamed apart and coalesced explicitly here.
     """
+    # presence flags, not key-nullness: a NULL key VALUE in a snapshot
+    # is indistinguishable from a join miss by key-nullness alone (a
+    # NULL-keyed old row would misclassify as 'added'); the null-safe
+    # join lets NULL compare equal as an ordinary key value.
     a = old.select(
         F.col(key).alias("__a_key"),
+        F.lit(1).alias("__a_present"),
         *[F.col(c).alias(f"old_{c}") for c in tracked],
     )
     b = new.select(
         F.col(key).alias("__b_key"),
+        F.lit(1).alias("__b_present"),
         *[F.col(c).alias(f"new_{c}") for c in tracked],
     )
-    d = a.join(b, a["__a_key"] == b["__b_key"], "full_outer")
-    differs = None
+    d = a.join(b, a["__a_key"].eqNullSafe(b["__b_key"]), "full_outer")
+    # empty tracked = key-only diff: only added/removed are
+    # detectable, nothing ever classifies as 'changed'
+    differs = F.lit(False)
     for c in tracked:
-        ne = ~(F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")))
-        differs = ne if differs is None else (differs | ne)
+        differs = differs | ~(F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")))
     change = (
-        F.when(F.col("__a_key").isNull(), "added")
-        .when(F.col("__b_key").isNull(), "removed")
+        F.when(F.col("__a_present").isNull(), "added")
+        .when(F.col("__b_present").isNull(), "removed")
         .when(differs, "changed")
     )
     out_cols = [f"old_{c}" for c in tracked] + [f"new_{c}" for c in tracked]

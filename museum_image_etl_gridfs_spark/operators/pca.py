@@ -98,8 +98,11 @@ def pca_project(
     """
     k = comps.shape[0]
     keep = [id_col, *extra_cols]
+    # passthrough columns keep their INPUT types — hardcoding would
+    # silently break any non-int extra column at the Arrow boundary
+    in_types = {f.name: f.dataType.simpleString() for f in emb.schema.fields}
     out_schema = ", ".join(
-        [f"{id_col} long", *[f"{c} int" for c in extra_cols]]
+        [f"{c} {in_types[c]}" for c in keep]
         + [f"pc{i + 1} double" for i in range(k)]
     )
 

@@ -54,13 +54,18 @@ def ntile_exact(
     spark = df.sparkSession
     t0 = df.select(*order_keys)
     nb = max(spark.sparkContext.defaultParallelism, 2) * buckets_per_core
-    mn, mx, n_null = t0.agg(
+    mn, mx, n_null, n_nan = t0.agg(
         F.min(lead),
         F.max(lead),
         F.count(F.when(F.col(lead).isNull(), 1)),
+        F.count(F.when(F.isnan(F.col(lead).cast("double")), 1)),
     ).first()
     if n_null:  # least()/width_bucket would silently misplace NULLs
         raise ValueError(f"ntile_exact: NULL values in lead key {lead!r}")
+    if n_nan:  # width_bucket(NaN, ...) -> NULL pid, rows would be
+        # SILENTLY dropped by the offsets inner join (real ntile()
+        # ranks NaN last) — refuse, like the NULL case
+        raise ValueError(f"ntile_exact: NaN values in lead key {lead!r}")
     if mn is None:
         return df.withColumn(out_col, F.lit(None).cast("int"))
     pid_expr = (

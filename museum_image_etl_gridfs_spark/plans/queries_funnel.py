@@ -31,11 +31,11 @@ from ..functions import quality as Q
 from ..partitioning import spread
 from .registry import query
 
-#: lowercased whitespace word array (mirror of functions/quality.words)
-_SQL_WORDS_LOWER = (
-    "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
-    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
-)
+#: lowercased whitespace word array (canonical mirror of
+#: functions/quality.words — single shared constant)
+from ..functions import quality as _Q
+
+_SQL_WORDS_LOWER = _Q.WORDS_SQL_LOWER
 
 
 @query(

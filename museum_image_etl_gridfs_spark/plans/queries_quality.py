@@ -30,10 +30,8 @@ from .registry import query
 # ---------------------------------------------------------------- SQL mirrors
 
 #: whitespace word array over lowercased text; NULL/blank -> []
-_SQL_WORDS_LOWER = (
-    "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
-    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
-)
+#: (canonical definition lives next to functions/quality.words)
+_SQL_WORDS_LOWER = Q.WORDS_SQL_LOWER
 _SQL_WORDS = (
     "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE regexp_split_to_array(trim(text), '\\s+') END"

@@ -169,11 +169,11 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: lowercased whitespace word array (shared mirror; see queries_quality)
-_SQL_WORDS_CURATE = (
-    "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
-    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
-)
+#: lowercased whitespace word array (canonical mirror of
+#: functions/quality.words — single shared constant)
+from ..functions import quality as _Q
+
+_SQL_WORDS_CURATE = _Q.WORDS_SQL_LOWER
 
 
 @query(

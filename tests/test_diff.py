@@ -44,3 +44,25 @@ def test_multi_column_tracking_any_difference_counts(spark):
     got = snapshot_diff_frames(old, new, "k", ["v", "w"])
     # column order: key, change_type, old_* columns, then new_* columns
     assert _rows(got) == {(1, "changed", "a", 10, "a", 11)}
+
+
+def test_null_key_classified_by_presence_not_key_nullness(spark):
+    old = spark.createDataFrame([(None, "x")], "k long, v string")
+    new = spark.createDataFrame([], "k long, v string")
+    got = snapshot_diff_frames(old, new, "k", ["v"]).collect()
+    assert len(got) == 1
+    assert got[0]["change_type"] == "removed" and got[0]["old_v"] == "x"
+    # and NULL keys on both sides pair up like an ordinary key value
+    new2 = spark.createDataFrame([(None, "y")], "k long, v string")
+    got2 = snapshot_diff_frames(old, new2, "k", ["v"]).collect()
+    assert [r["change_type"] for r in got2] == ["changed"]
+
+
+def test_empty_tracked_is_key_only_diff(spark):
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {
+        (r["k"], r["change_type"])
+        for r in snapshot_diff_frames(old, new, "k", []).collect()
+    }
+    assert got == {(1, "removed"), (3, "added")}

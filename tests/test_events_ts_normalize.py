@@ -24,7 +24,7 @@ _INSTANTS = [
 
 
 def _write(tmpdir: str, unit: str) -> str:
-    micros = [int(dt.timestamp() * 0) + _us(dt) for dt in _INSTANTS]
+    micros = [_us(dt) for dt in _INSTANTS]
     if unit == "ns":
         arr = pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))
     else:

@@ -89,3 +89,15 @@ def test_property_random_data_matches_spark_ntile(spark):
         ]
         df = spark.createDataFrame(rows, "v double, id long").repartition(5)
         _assert_matches(df, ["v", "id"], k)
+
+
+def test_nan_lead_key_rejected(spark):
+    """width_bucket(NaN) -> NULL pid would silently DROP rows through
+    the offsets inner join; refuse NaN like NULL instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 3.0)], "id long, x double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        ntile_exact(df, ["x", "id"], 2, out_col="b").collect()

@@ -89,12 +89,18 @@ def main(argv: list[str]) -> int:
             delta = f"{pct:+.0f}%"
         print(name.ljust(w) + "".join(cells) + delta.rjust(8))
     totals = [data.get("value") for _, data in rounds]
-    print(
-        "TOTAL".ljust(w)
-        + "".join(
-            f"{t:.3f}".rjust(10) if t is not None else "—".rjust(10) for t in totals
-        )
-    )
+    # annotate totals computed with crashed queries excluded — a round
+    # where a query errored otherwise reads as a large speedup
+    errs = [len(data.get("errors") or {}) for _, data in rounds]
+    cells = []
+    for t, e in zip(totals, errs):
+        cell = f"{t:.3f}" if t is not None else "—"
+        if e:
+            cell += f"!{e}err"
+        cells.append(cell.rjust(10))
+    print("TOTAL".ljust(w) + "".join(cells))
+    if any(errs):
+        print("(!Nerr = total excludes N crashed queries that round)")
     return 0
 
 

@@ -36,12 +36,18 @@ SHIFTS: dict[str, list[str]] = {
     "embeddings": ["vec_id"],
 }
 
-#: FK columns shifted with the PK of the table they reference
+#: FK columns shifted with the PK of the table they reference.
+#: events.user_id joins customer.c_custkey (stream_enriched_segments
+#: etc.), so it must shift by the CUSTOMER key domain — shifting it by
+#: its own (smaller) max would land every copy's events inside copy
+#: 0's customer range, skewing and mis-associating the joins the
+#: synthesized SF exists to validate.
 _DOMAIN_OF = {
     "o_custkey": ("customer", "c_custkey"),
     "l_orderkey": ("orders", "o_orderkey"),
     "l_partkey": ("part", "p_partkey"),
     "l_suppkey": ("supplier", "s_suppkey"),
+    "user_id": ("customer", "c_custkey"),
 }
 
 
