@@ -682,6 +682,54 @@ def http_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_join_delta",
+    oracle="""
+    SELECT o_orderkey, c_custkey, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    EXCEPT
+    SELECT o_orderkey, c_custkey, o_totalprice, c_mktsegment
+    FROM (SELECT * FROM orders WHERE o_orderkey % 97 <> 0) o
+    JOIN (SELECT * FROM customer WHERE c_custkey % 89 <> 0) c
+      ON c.c_custkey = o.o_custkey
+    """,
+    tags=("incremental-view-maintenance", "join-delta", "cdc"),
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view: given base
+    relations and delta rows (here carved deterministically out of
+    orders and customer), compute the join view's delta with the
+    three-term formula Δ(R⋈S) = ΔR⋈S_base ∪ R_base⋈ΔS ∪ ΔR⋈ΔS —
+    WITHOUT recomputing the full join.
+
+    The maintenance primitive behind materialized-view refresh and
+    foreachBatch view upkeep: every term has a delta side, so at
+    100 TB each refresh broadcasts the (small) deltas against the
+    base relations instead of re-joining base⋈base. The oracle is
+    the definitional recompute-and-subtract (full join EXCEPT base
+    join) — the formula must reproduce it exactly.
+    """
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    o_base = o.filter(F.col("o_orderkey") % 97 != 0)
+    o_delta = o.filter(F.col("o_orderkey") % 97 == 0)
+    c_base = c.filter(F.col("c_custkey") % 89 != 0)
+    c_delta = c.filter(F.col("c_custkey") % 89 == 0)
+
+    def j(lo: DataFrame, rc: DataFrame) -> DataFrame:
+        return lo.join(rc, lo["o_custkey"] == rc["c_custkey"]).select(
+            "o_orderkey", "c_custkey", "o_totalprice", "c_mktsegment"
+        )
+
+    return (
+        j(o_delta, c_base)
+        .unionAll(j(o_base, c_delta))
+        .unionAll(j(o_delta, c_delta))
+    )
+
+
+@query(
     "orc_sink_roundtrip",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation
