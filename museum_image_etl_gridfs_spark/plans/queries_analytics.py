@@ -682,6 +682,119 @@ def http_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_priority_chisq",
+    oracle="""
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               CAST(count(*) AS DOUBLE) AS obs
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT seg, pri, obs,
+               sum(obs) OVER (PARTITION BY seg) AS row_tot,
+               sum(obs) OVER (PARTITION BY pri) AS col_tot,
+               sum(obs) OVER () AS n
+        FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((obs - row_tot * col_tot / n)
+                     * (obs - row_tot * col_tot / n)
+                     / (row_tot * col_tot / n)), 6) AS chi2
+    FROM tot
+    """,
+    tags=("stats", "chi-square", "independence"),
+)
+def segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between customer market segment
+    and order priority — the categorical-association audit a feature
+    store runs before trusting a segmentation.
+
+    One join + one 25-cell aggregate; marginals come from windows
+    over the CELLS (25 rows), never a second pass over the fact.
+    Observed counts are exact; the statistic is decimal-rounded for
+    cross-engine sum-order tolerance.
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, "orders", sf_dir).select("o_custkey", "o_orderpriority")
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    row_tot = F.sum("obs").over(Window.partitionBy("seg"))
+    col_tot = F.sum("obs").over(Window.partitionBy("pri"))
+    n = F.sum("obs").over(Window.partitionBy())
+    exp = row_tot * col_tot / n
+    return (
+        cells.select("obs", exp.alias("exp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(
+                F.sum(
+                    (F.col("obs") - F.col("exp"))
+                    * (F.col("obs") - F.col("exp"))
+                    / F.col("exp")
+                ),
+                6,
+            ).alias("chi2"),
+        )
+    )
+
+
+@query(
+    "benford_price_digits",
+    oracle="""
+    WITH d AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    )
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+               AS benford_share
+    FROM d
+    GROUP BY digit
+    """,
+    tags=("stats", "benford", "data-quality"),
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit audit over order totals — the
+    classic fraud/data-quality screen for financial columns.
+
+    The leading digit is extracted through integer-cents string
+    formatting (floor(x*100) as BIGINT), NOT log10 bucketing: both
+    engines floor identically, while log10 at power-of-ten boundaries
+    can straddle a ULP and flip the digit. Expected Benford shares
+    ride along per digit (rounded literals of log10(1+1/d)).
+    """
+    o = load(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).alias("digit")
+    return (
+        o.select(digit)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")),
+                6,
+            ).alias("benford_share"),
+        )
+    )
+
+
+@query(
     "ivm_join_delta",
     oracle="""
     SELECT o_orderkey, c_custkey, o_totalprice, c_mktsegment
