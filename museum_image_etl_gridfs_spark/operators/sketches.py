@@ -18,12 +18,12 @@ verify, one corpus scan + one candidate-only recount):
    C = Σc_p < (frac/2)·Σt_p = frac·N/2 ≤ C/2 — contradiction.
    And (b) a depth×width count-min partial (numpy, vectorized) plus
    one local-total row.
-2. The partials merge elementwise (posexplode + groupBy pos — a
-   shuffle of depth×width longs per partition, kilobytes). The merged
-   sketch is collected driver-side (it is O(depth·width), like
-   k-means partials) and used to prune candidates: CMS estimates only
-   OVER-count, so est < threshold ⇒ true count < threshold — pruning
-   is also false-negative-free.
+2. The partials merge elementwise (groupBy over flattened (row, pos)
+   cells — a shuffle of depth×width longs per partition, kilobytes).
+   The merged sketch is collected driver-side (it is O(depth·width),
+   like k-means partials) and used to prune candidates: CMS estimates
+   only OVER-count, so est < threshold ⇒ true count < threshold —
+   pruning is also false-negative-free.
 3. Exact verify: recount ONLY the surviving candidates (broadcast
    hash semi-join + partial-agg groupBy — the shuffle carries a few
    rows per candidate per partition, not the corpus).
@@ -139,26 +139,31 @@ def cms_heavy_hitters(
         yield pd.concat([cand_df, cms_df, total_df], ignore_index=True)
 
     passed = src.mapInPandas(one_pass, _PASS_SCHEMA)
-    # ONE action over the one-pass output (it is tiny: ≤ depth·width
-    # sketch cells + ~64 candidates + 1 total row per partition); the
-    # sketch merge, grand total, and candidate union all reduce
-    # driver-side from the same collected rows — no persist, no risk
-    # of re-running the corpus scan for a second/third job.
-    rows = passed.collect()
+    # merge the partials DISTRIBUTED (one shuffle of sketch cells +
+    # candidate names), then ONE collect of the merged result: the
+    # driver receives ≤ depth·width cells + the candidate union + one
+    # total — independent of partition count (a raw collect of the
+    # per-partition partials would scale with #partitions), and the
+    # single action means the corpus scan runs exactly once.
+    merged = (
+        passed.groupBy("kind", "item", "cms_row", "pos")
+        .agg(
+            F.sum("val").alias("val"),
+            F.sum("local_count").alias("local_count"),
+        )
+        .collect()
+    )
     cms: dict[tuple[int, int], int] = {}
     total = 0
     cand_counts: dict[str, int] = {}
-    for row in rows:
+    for row in merged:
         kind = row["kind"]
         if kind == "cms":
-            key = (row["cms_row"], row["pos"])
-            cms[key] = cms.get(key, 0) + row["val"]
+            cms[(row["cms_row"], row["pos"])] = row["val"]
         elif kind == "total":
             total += row["val"]
         else:  # candidate
-            cand_counts[row["item"]] = (
-                cand_counts.get(row["item"], 0) + row["local_count"]
-            )
+            cand_counts[row["item"]] = row["local_count"]
     threshold = int(math.ceil(threshold_frac * total))
 
     # prune the candidate union by the CMS upper bound (min over rows

@@ -402,8 +402,12 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replans (and AQE re-optimizes) the whole edge-extraction DAG,
     # and the plan depth grows linearly with iterations. Edges
     # materialize once on the executors; each subsequent iteration
-    # plans only join→agg over the checkpointed relation.
-    ne = ne.localCheckpoint(eager=True)
+    # plans only join→agg over the checkpointed relation. LAZY
+    # checkpoints (eager=False) keep build()/plan-audit free of job
+    # launches — materialization happens at the first real action.
+    # (Audit caveat: the executed plan beyond the checkpoint shows as
+    # an ExistingRDD stub.)
+    ne = ne.localCheckpoint(eager=False)
     n_nodes = float(outw.count())
     ranks = outw.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr")
@@ -419,7 +423,7 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr")
             )
             .select(F.col("dst").alias("node"), "pr")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return ranks.select(
         F.col("node").alias("brand"), F.round("pr", 9).alias("pr")
     )
@@ -681,6 +685,27 @@ def http_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _scratch_dir(family: str, sf_dir: str) -> str:
+    """Per-run unique scratch dir for sink round-trips, removed at
+    process exit (unique so concurrent runs never race on each
+    other's files; atexit-bounded so sweeps don't accumulate /tmp
+    litter)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        family,
+        f"{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
+    )
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
+
+
 @query(
     "segment_priority_chisq",
     oracle="""
@@ -855,15 +880,7 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back, hash-checked against the parquet source of truth —
     pins type round-tripping through a second columnar format.
     """
-    import os
-    import tempfile
-    import uuid
-
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "museum_etl_orc_demo",
-        f"{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
-    )
+    out = _scratch_dir("museum_etl_orc_demo", sf_dir)
     n = load(spark, "nation", sf_dir).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -1124,18 +1141,10 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-only.
     """
     import os
-    import tempfile
-    import uuid
 
     from ..streaming.events import events_stream, run_foreach_batch_upsert
 
-    # per-run unique root (see partitioned_sink_roundtrip): no rmtree
-    # needed and no cross-process races on the target/checkpoint
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "museum_etl_merge_demo",
-        f"{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
-    )
+    root = _scratch_dir("museum_etl_merge_demo", sf_dir)
     target = os.path.join(root, "target")
     ckpt = os.path.join(root, "ckpt")
 
@@ -1370,9 +1379,9 @@ def udtf_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             # mirror the oracle's lower(trim(text)) + regex '\s+'
             # EXACTLY: SQL trim() strips spaces only, and RE2 \s is
-            # the ASCII class — python .strip()/.split() are
-            # Unicode-aware and drop leading empty tokens, which
-            # would diverge on tab/newline-framed text
+            # [ \t\n\f\r] (NO vertical tab) — python
+            # .strip()/.split() are Unicode-aware, drop leading empty
+            # tokens, AND split on \v, all of which would diverge
             import re
 
             if text is None:
@@ -1380,7 +1389,7 @@ def udtf_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = text.strip(" ").lower()
             if t == "":
                 return
-            toks = re.split("[ \\t\\n\\r\\f\\v]+", t)
+            toks = re.split("[ \\t\\n\\r\\f]+", t)
             for a, b in zip(toks, toks[1:]):
                 yield (f"{a} {b}",)
 
@@ -1417,17 +1426,7 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hive-style partition values come back as strings; the explicit
     cast restores the column's type contract.
     """
-    import os
-    import tempfile
-    import uuid
-
-    # per-run unique dir: concurrent runs (pytest + oracle sweep)
-    # must not overwrite/delete files under each other's lazy reads
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "museum_etl_sink_demo",
-        f"{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
-    )
+    out = _scratch_dir("museum_etl_sink_demo", sf_dir)
     o = load(spark, "orders", sf_dir).select(
         "o_orderkey",
         "o_custkey",
@@ -1463,9 +1462,15 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- max(ts) over all events (the sides see only their filtered
     -- streams).
     wm AS (
-        SELECT least((SELECT max(cts) FROM clicks),
-                     (SELECT max(pts) FROM purch))
-               - INTERVAL 1 HOUR AS w
+        -- if either side is EMPTY its Spark watermark never advances,
+        -- the min-policy global watermark stays at epoch 0 and no
+        -- null-extension ever emits; a bare least() would silently
+        -- ignore the NULL side (DuckDB least skips NULLs)
+        SELECT CASE WHEN (SELECT max(cts) FROM clicks) IS NULL
+                      OR (SELECT max(pts) FROM purch) IS NULL THEN NULL
+                    ELSE least((SELECT max(cts) FROM clicks),
+                               (SELECT max(pts) FROM purch))
+                         - INTERVAL 1 HOUR END AS w
     )
     SELECT cu AS user_id, click_id, purchase_id
     FROM clicks JOIN purch

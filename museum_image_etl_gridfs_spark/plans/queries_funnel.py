@@ -33,9 +33,7 @@ from .registry import query
 
 #: lowercased whitespace word array (canonical mirror of
 #: functions/quality.words — single shared constant)
-from ..functions import quality as _Q
-
-_SQL_WORDS_LOWER = _Q.WORDS_SQL_LOWER
+_SQL_WORDS_LOWER = Q.WORDS_SQL_LOWER
 
 
 @query(

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions import quality as _WQ
 from ..partitioning import spread
 from .registry import query
 
@@ -171,9 +172,7 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: lowercased whitespace word array (canonical mirror of
 #: functions/quality.words — single shared constant)
-from ..functions import quality as _Q
-
-_SQL_WORDS_CURATE = _Q.WORDS_SQL_LOWER
+_SQL_WORDS_CURATE = _WQ.WORDS_SQL_LOWER
 
 
 @query(

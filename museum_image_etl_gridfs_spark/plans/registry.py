@@ -148,11 +148,12 @@ _SENTINELS = (
 
 
 #: never-verified queries deliberately sorted to the BACK of the
-#: unverified band: the round-3 additions outnumber the driver's
-#: 50-row budget, so when something must overflow the prefix, prefer
-#: deferring simple pure-Catalyst SQL shapes (lowest novel-code risk;
-#: all locally oracle-green) over novel-operator queries (sketches,
-#: skyline, UDAF/UDTF, sinks, custom sources).
+#: unverified band (NINE deferred): the round-3 additions outnumber
+#: the driver's 50-row budget, so when something must overflow the
+#: prefix, prefer deferring simple pure-Catalyst SQL shapes (lowest
+#: novel-code risk; all locally oracle-green at three SFs) over
+#: novel-operator queries (sketches, skyline, UDAF/UDTF, sinks,
+#: custom sources).
 _BAND0_LAST = frozenset(
     {
         "big_spender_segments_intersect",

@@ -158,9 +158,11 @@ def test_sessions_close_exactly_once_across_batches(
     from pyspark.sql import Window
 
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ms = F.col("ts").cast("long") * 1000 - (
-        F.lag(F.col("ts").cast("long") * 1000).over(w_order)
-    )
+    # ms granularity like the operator (cast-long*1000 floors to
+    # SECONDS and can miss a near-30-min-boundary split)
+    gap_ms = F.unix_millis(F.col("ts")) - F.lag(
+        F.unix_millis(F.col("ts"))
+    ).over(w_order)
     ns = F.when(gap_ms.isNull() | (gap_ms > 1_800_000), 1).otherwise(0)
     ev_b = load(spark, "events", sf_dir)
     sess = (
