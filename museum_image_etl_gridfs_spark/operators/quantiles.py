@@ -1,5 +1,5 @@
-"""Distributed exact ntile — global order statistics without a
-global window.
+"""Distributed exact global order statistics — ntile / row_number /
+running totals — without a global window.
 
 A bare ``Window.orderBy`` (no partitionBy) moves every row into ONE
 task: the classic scale-killer (measured 12x superlinear at sf1 on
@@ -7,16 +7,16 @@ the deciles query before this rewrite). ``repartitionByRange`` can't
 fix it either — its split-point sampling reseeds per job, so
 partition ids observed in one action don't match the next.
 
-This operator computes exact ``ntile(k)`` semantics distributively:
+All operators here share one machinery:
 
 1. range ids from native ``width_bucket`` over driver-collected
    min/max of the leading sort column — codegen'd, value-monotone,
    a pure function of the row (stable across jobs);
-2. per-bucket counts → the only ``collect()``, O(buckets) rows
-   (the kmeans-partials pattern) → broadcast cumulative offsets;
-3. a WITHIN-bucket window for local row numbers;
-4. ntile's exact base/remainder arithmetic on offset + local
-   position.
+2. per-bucket partials (counts / sums) → the only ``collect()``,
+   O(buckets) rows (the kmeans-partials pattern) → broadcast
+   cumulative offsets;
+3. a WITHIN-bucket window for local positions / running sums;
+4. global value = bucket offset + local value.
 
 Every stage is n/p per task. Bucket BALANCE is approximate under
 value skew (a hot range widens one task) while bucket MEMBERSHIP
@@ -29,6 +29,146 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _with_range_pid(
+    df: DataFrame, order_keys: Sequence[str], buckets_per_core: int
+) -> DataFrame | None:
+    """Append a job-stable range id ``__pid`` from the lead sort key.
+
+    Returns ``None`` for an empty input. Raises on NULL/NaN lead keys
+    — engines disagree on their ordering (Spark NULLS FIRST vs DuckDB
+    NULLS LAST) and ``width_bucket(NaN, ...)`` yields a NULL pid whose
+    rows would be SILENTLY dropped by the offsets inner join.
+    """
+    lead = order_keys[0]
+    spark = df.sparkSession
+    nb = max(spark.sparkContext.defaultParallelism, 2) * buckets_per_core
+    mn, mx, n_null, n_nan = df.agg(
+        F.min(lead),
+        F.max(lead),
+        F.count(F.when(F.col(lead).isNull(), 1)),
+        F.count(F.when(F.isnan(F.col(lead).cast("double")), 1)),
+    ).first()
+    if n_null:  # least()/width_bucket would silently misplace NULLs
+        raise ValueError(f"global order op: NULL values in lead key {lead!r}")
+    if n_nan:
+        raise ValueError(f"global order op: NaN values in lead key {lead!r}")
+    if mn is None:
+        return None
+    pid_expr = (
+        F.lit(1)
+        if mn == mx
+        else F.least(
+            F.width_bucket(F.col(lead), F.lit(mn), F.lit(mx), nb), F.lit(nb)
+        )
+    )
+    return df.withColumn("__pid", pid_expr)
+
+
+def _global_positions(
+    df: DataFrame, order_keys: Sequence[str], buckets_per_core: int
+) -> tuple[DataFrame, int] | None:
+    """(df + ``__gpos`` global 1-based row number, total row count)."""
+    t = _with_range_pid(df, order_keys, buckets_per_core)
+    if t is None:
+        return None
+    spark = df.sparkSession
+    cnt = {
+        r["__pid"]: r["cnt"]
+        for r in t.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(cnt.values())
+    offsets, acc = {}, 0
+    for pid in sorted(cnt):
+        offsets[pid] = acc
+        acc += cnt[pid]
+    off = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __off long",
+        )
+    )
+    local = Window.partitionBy("__pid").orderBy(*order_keys)
+    pos = t.join(off, "__pid").withColumn(
+        "__gpos", F.col("__off") + F.row_number().over(local)
+    )
+    return pos, n
+
+
+def global_row_number(
+    df: DataFrame,
+    order_keys: Sequence[str],
+    *,
+    out_col: str = "row_num",
+    buckets_per_core: int = 4,
+) -> DataFrame:
+    """Append ``out_col`` = ``row_number() OVER (ORDER BY order_keys)``
+    with no single-task stage.
+
+    The first key must be numeric and NON-NULL/NaN-free; the full key
+    list must be a strict total order for deterministic numbering.
+    """
+    got = _global_positions(df, order_keys, buckets_per_core)
+    if got is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    pos, _ = got
+    return pos.withColumnRenamed("__gpos", out_col).drop("__pid", "__off")
+
+
+def running_totals(
+    df: DataFrame,
+    order_keys: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    prefix: str = "cum_",
+    buckets_per_core: int = 4,
+) -> DataFrame:
+    """Append ``prefix + c`` = running ``SUM(c) OVER (ORDER BY
+    order_keys ROWS UNBOUNDED PRECEDING)`` for each value column,
+    distributively (the two-pass prefix-sum: per-bucket totals →
+    broadcast exclusive offsets → within-bucket running window).
+
+    Value columns should be exact types (integral / DECIMAL) so the
+    result is independent of bucket boundaries; NULL values are not
+    supported (the offset arithmetic would silently treat them as 0).
+    """
+    t = _with_range_pid(df, order_keys, buckets_per_core)
+    if t is None:
+        out = df
+        for c in value_cols:
+            out = out.withColumn(prefix + c, F.col(c))
+        return out
+    spark = df.sparkSession
+    agg_df = t.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__off_{c}") for c in value_cols]
+    )
+    by_pid = {r["__pid"]: r for r in agg_df.collect()}
+    rows, acc = [], {c: None for c in value_cols}
+    for pid in sorted(by_pid):
+        rows.append((int(pid), *[acc[c] for c in value_cols]))
+        for c in value_cols:
+            v = by_pid[pid][f"__off_{c}"]
+            if v is None:
+                raise ValueError(f"running_totals: NULL sum in {c!r}")
+            acc[c] = v if acc[c] is None else acc[c] + v
+    # offsets carry the SUM's type (e.g. long for ints, widened
+    # decimal) — never the narrower input type
+    off = F.broadcast(spark.createDataFrame(rows, agg_df.schema))
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = t.join(off, "__pid")
+    for c in value_cols:
+        dt = agg_df.schema[f"__off_{c}"].dataType
+        out = out.withColumn(
+            prefix + c,
+            F.sum(c).over(local)
+            + F.coalesce(F.col(f"__off_{c}"), F.lit(0).cast(dt)),
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in value_cols])
 
 
 def ntile_exact(
@@ -50,51 +190,10 @@ def ntile_exact(
     against DuckDB in the decile queries — but with no single-task
     stage.
     """
-    lead = order_keys[0]
-    spark = df.sparkSession
-    t0 = df.select(*order_keys)
-    nb = max(spark.sparkContext.defaultParallelism, 2) * buckets_per_core
-    mn, mx, n_null, n_nan = t0.agg(
-        F.min(lead),
-        F.max(lead),
-        F.count(F.when(F.col(lead).isNull(), 1)),
-        F.count(F.when(F.isnan(F.col(lead).cast("double")), 1)),
-    ).first()
-    if n_null:  # least()/width_bucket would silently misplace NULLs
-        raise ValueError(f"ntile_exact: NULL values in lead key {lead!r}")
-    if n_nan:  # width_bucket(NaN, ...) -> NULL pid, rows would be
-        # SILENTLY dropped by the offsets inner join (real ntile()
-        # ranks NaN last) — refuse, like the NULL case
-        raise ValueError(f"ntile_exact: NaN values in lead key {lead!r}")
-    if mn is None:
+    got = _global_positions(df, order_keys, buckets_per_core)
+    if got is None:
         return df.withColumn(out_col, F.lit(None).cast("int"))
-    pid_expr = (
-        F.lit(1)
-        if mn == mx
-        else F.least(
-            F.width_bucket(F.col(lead), F.lit(mn), F.lit(mx), nb), F.lit(nb)
-        )
-    )
-    t = df.withColumn("__pid", pid_expr)
-    cnt = {
-        r["__pid"]: r["cnt"]
-        for r in t.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    n = sum(cnt.values())
-    offsets, acc = {}, 0
-    for pid in sorted(cnt):
-        offsets[pid] = acc
-        acc += cnt[pid]
-    off = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()],
-            "__pid int, __off long",
-        )
-    )
-    local = Window.partitionBy("__pid").orderBy(*order_keys)
-    pos = t.join(off, "__pid").withColumn(
-        "__gpos", F.col("__off") + F.row_number().over(local)
-    )
+    pos, n = got
     base, rem = n // k, n % k
     cut = rem * (base + 1)
     bucket = (

@@ -1,0 +1,809 @@
+"""Distributional-statistics & data-audit wave (round 3, session 4).
+
+Inequality/divergence measures and robust-statistics audits a
+training-data or analytics team runs over a corpus/fact table, each
+with an exact DuckDB oracle:
+
+- ``gini_customer_spend`` — revenue-concentration Gini via the
+  distributed global-rank machinery (no single-task sort);
+- ``ks_returned_price`` — two-sample Kolmogorov–Smirnov distance via
+  the distributed prefix-sum operator (``running_totals``);
+- ``order_streak_islands`` — gaps-and-islands consecutive-activity
+  streaks (per-key window, fully partitioned);
+- ``mad_outlier_quantities`` — median/MAD robust outlier audit;
+- ``pmi_collocations`` — corpus collocation mining by pointwise
+  mutual information;
+- ``matryoshka_energy_profile`` — leading-dimension energy retention
+  of embeddings (Matryoshka truncation quality);
+- ``unpivot_returnflag_metrics`` — the native UNPIVOT surface
+  (Spark ``DataFrame.unpivot`` ≡ DuckDB ``UNPIVOT``).
+
+The reference (a 501-LoC row-at-a-time pymongo ETL,
+/root/reference/src/transform_load.py) has no aggregate surface at
+all; these extend the large-scale curation/audit surface scoped in
+SURVEY.md §2.12 / COVERAGE.md.
+
+Cross-engine determinism: every money/stat sum is routed through
+DECIMAL (exact, order-independent); per-row doubles are produced by
+IDENTICAL IEEE op sequences on both engines (same literal order,
+same casts) and only then rounded/compared; division never happens
+before the final scalar step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import quality as Q
+from ..operators.quantiles import global_row_number, running_totals
+from ..partitioning import spread
+from .registry import query
+
+#: lowercased whitespace word array (canonical tokenizer mirror)
+_SQL_WORDS_LOWER = Q.WORDS_SQL_LOWER
+
+
+@query(
+    "gini_customer_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey,
+               COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                        CAST(0 AS DECIMAL(18,2))) AS spend
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey),
+    ranked AS (
+        SELECT spend,
+               row_number() OVER (ORDER BY CAST(spend AS DOUBLE), c_custkey)
+                   AS rnk
+        FROM spend),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(spend) AS DECIMAL(30,2)) AS s1,
+               CAST(SUM(rnk * spend) AS DECIMAL(30,2)) AS s2
+        FROM ranked)
+    SELECT n AS n_customers,
+           CAST(s1 AS DOUBLE) AS total_spend,
+           round(CAST(2 * s2 - (n + 1) * s1 AS DOUBLE)
+                 / CAST(n * s1 AS DOUBLE), 8) AS gini
+    FROM s
+    """,
+    tags=("stats", "inequality", "global-rank"),
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (zero-order
+    customers included at spend 0).
+
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with x sorted ascending —
+    numerator and denominator are EXACT DECIMAL scalars, so the one
+    double division is bit-identical across engines and partitionings
+    (equal spends permute ranks but leave Σ i·xᵢ invariant).
+
+    Scale shape: the per-customer aggregate shuffles orders once
+    (map-side partials); the global rank uses
+    ``operators/quantiles.global_row_number`` — width_bucket range
+    ids + broadcast offsets + within-bucket window — so no stage ever
+    holds the full customer set in one task (the bare
+    ``Window.orderBy`` scale-killer documented in NOTES.md).
+    """
+    cust = load(spark, "customer", sf_dir).select("c_custkey")
+    orders = load(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("spend")
+        )
+        .withColumn("spend_d", F.col("spend").cast("double"))
+    )
+    ranked = global_row_number(
+        spend, ["spend_d", "c_custkey"], out_col="rnk"
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend").cast("decimal(30,2)").alias("s1"),
+        F.sum(F.col("rnk") * F.col("spend")).cast("decimal(30,2)").alias("s2"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("s1").cast("double").alias("total_spend"),
+        F.round(
+            (2 * F.col("s2") - (F.col("n") + 1) * F.col("s1")).cast("double")
+            / (F.col("n") * F.col("s1")).cast("double"),
+            8,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "ks_returned_price",
+    oracle="""
+    WITH vals AS (
+        SELECT l_extendedprice AS price,
+               CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r,
+               CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS BIGINT) AS o
+        FROM lineitem GROUP BY l_extendedprice),
+    tot AS (SELECT SUM(r) AS nr, SUM(o) AS no FROM vals),
+    cdf AS (
+        SELECT price,
+               SUM(r) OVER (ORDER BY price
+                            ROWS UNBOUNDED PRECEDING) AS cum_r,
+               SUM(o) OVER (ORDER BY price
+                            ROWS UNBOUNDED PRECEDING) AS cum_o
+        FROM vals),
+    d AS (
+        SELECT price,
+               abs(CAST(cum_r AS DOUBLE) / CAST((SELECT nr FROM tot) AS DOUBLE)
+                   - CAST(cum_o AS DOUBLE)
+                     / CAST((SELECT no FROM tot) AS DOUBLE)) AS dist
+        FROM cdf),
+    mx AS (SELECT max(dist) AS ks FROM d)
+    SELECT round((SELECT ks FROM mx), 8) AS ks_stat,
+           min(price) AS ks_price,
+           CAST((SELECT nr FROM tot) AS BIGINT) AS n_returned,
+           CAST((SELECT no FROM tot) AS BIGINT) AS n_other
+    FROM d WHERE dist = (SELECT ks FROM mx)
+    """,
+    tags=("stats", "ks-test", "prefix-sum"),
+)
+def ks_returned_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the price
+    distributions of returned (``l_returnflag = 'R'``) and
+    non-returned line items, with the price where the supremum is
+    attained (smallest such price under ties).
+
+    Determinism: the empirical CDFs are exact integer prefix sums;
+    each distance is the SAME double expression on both engines, so
+    the max and the equality filter select identical rows.
+
+    Scale shape: one groupBy compresses the fact to its distinct
+    value set; the global running sums come from
+    ``operators/quantiles.running_totals`` (bucketed two-pass prefix
+    sum — per-bucket totals, broadcast offsets, within-bucket window)
+    — no single-task global window anywhere; the 1-row totals/max
+    are broadcast nested-loop joined.
+    """
+    li = load(spark, "lineitem", sf_dir).select("l_extendedprice", "l_returnflag")
+    vals = (
+        li.groupBy(F.col("l_extendedprice").alias("price"))
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r"),
+            F.count(F.when(F.col("l_returnflag") != "R", 1)).alias("o"),
+        )
+    )
+    cdf = running_totals(vals, ["price"], ["r", "o"])
+    tot = vals.agg(F.sum("r").alias("nr"), F.sum("o").alias("no"))
+    d = cdf.crossJoin(F.broadcast(tot)).select(
+        "price",
+        "nr",
+        "no",
+        F.abs(
+            F.col("cum_r").cast("double") / F.col("nr").cast("double")
+            - F.col("cum_o").cast("double") / F.col("no").cast("double")
+        ).alias("dist"),
+    )
+    mx = d.agg(F.max("dist").alias("ks"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .filter(F.col("dist") == F.col("ks"))
+        .groupBy()
+        .agg(
+            F.round(F.first("ks"), 8).alias("ks_stat"),
+            F.min("price").alias("ks_price"),
+            F.first("nr").alias("n_returned"),
+            F.first("no").alias("n_other"),
+        )
+    )
+
+
+@query(
+    "order_streak_islands",
+    oracle="""
+    WITH m AS (
+        SELECT DISTINCT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS mth
+        FROM orders),
+    grp AS (
+        SELECT o_custkey, mth,
+               mth - row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY mth) AS island
+        FROM m),
+    runs AS (
+        SELECT o_custkey, island, CAST(count(*) AS BIGINT) AS run_len
+        FROM grp GROUP BY o_custkey, island)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           max(run_len) AS longest_streak,
+           CAST(sum(run_len) AS BIGINT) AS active_months
+    FROM runs GROUP BY o_custkey
+    """,
+    tags=("stats", "gaps-and-islands", "window"),
+)
+def order_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per customer, runs of CONSECUTIVE calendar
+    months containing at least one order — number of streaks, the
+    longest streak, and total active months.
+
+    The classic ``month_index − row_number()`` island key groups
+    consecutive months into one run; everything is integer-exact.
+
+    Scale shape: one shuffle on ``o_custkey`` (distinct + window +
+    both groupBys all share the key, so Catalyst reuses the
+    partitioning); no global window, no skew risk beyond a single
+    customer's month count (bounded by the calendar).
+    """
+    m = (
+        load(spark, "orders", sf_dir)
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("mth"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("mth")
+    runs = (
+        m.withColumn("island", F.col("mth") - F.row_number().over(w))
+        .groupBy("o_custkey", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("run_len").alias("longest_streak"),
+        F.sum("run_len").alias("active_months"),
+    )
+
+
+@query(
+    "mad_outlier_quantities",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty
+        FROM lineitem),
+    med AS (
+        SELECT l_returnflag, quantile_cont(qty, 0.5) AS med_qty
+        FROM q GROUP BY l_returnflag),
+    dev AS (
+        SELECT q.l_returnflag, q.qty, med.med_qty,
+               abs(q.qty - med.med_qty) AS d
+        FROM q JOIN med USING (l_returnflag)),
+    mad AS (
+        SELECT l_returnflag, quantile_cont(d, 0.5) AS mad_qty
+        FROM dev GROUP BY l_returnflag)
+    SELECT dev.l_returnflag,
+           round(ANY_VALUE(dev.med_qty), 4) AS med_qty,
+           round(ANY_VALUE(mad.mad_qty), 4) AS mad_qty,
+           CAST(count(*) FILTER (
+               WHERE dev.d > 3.0 * 1.4826 * mad.mad_qty) AS BIGINT)
+               AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM dev JOIN mad USING (l_returnflag)
+    GROUP BY dev.l_returnflag
+    """,
+    tags=("stats", "robust", "median-mad"),
+)
+def mad_outlier_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per return flag: exact median and MAD of
+    ``l_quantity``, and the count of items beyond the standard
+    ``3·1.4826·MAD`` robust-z fence.
+
+    Spark's exact ``percentile(x, 0.5)`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition, and
+    the fence expression multiplies in the same literal order on both
+    engines, so the comparison is bit-identical.
+
+    Scale shape: two grouped exact percentiles over a 3-group key —
+    each group's values are buffered by the ObjectHashAggregate
+    percentile; at 100 TB swap in ``approx_percentile`` (same plan
+    shape, bounded memory) — the medians/MAD table itself is tiny and
+    broadcast back onto the fact for the fence count.
+    """
+    q = load(spark, "lineitem", sf_dir).select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("qty")
+    )
+    med = q.groupBy("l_returnflag").agg(
+        F.percentile("qty", F.lit(0.5)).alias("med_qty")
+    )
+    dev = q.join(F.broadcast(med), "l_returnflag").withColumn(
+        "d", F.abs(F.col("qty") - F.col("med_qty"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad_qty")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("med_qty"), 4).alias("med_qty"),
+            F.round(F.first("mad_qty"), 4).alias("mad_qty"),
+            F.count(
+                F.when(
+                    F.col("d") > F.lit(3.0) * F.lit(1.4826) * F.col("mad_qty"),
+                    1,
+                )
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+#: collocations below this corpus frequency are statistically noisy
+_PMI_MIN_PAIR = 5
+#: result size of the ranked collocation list
+_PMI_TOP_K = 100
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH w AS (
+        SELECT {_SQL_WORDS_LOWER} AS w
+        FROM documents),
+    uni AS (
+        SELECT unnest(w) AS term FROM w),
+    ucnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    un AS (SELECT SUM(c) AS n FROM ucnt),
+    big AS (
+        SELECT unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                           ELSE list_transform(range(1, len(w)),
+                                               i -> w[i] || ' ' || w[i+1])
+                      END) AS bigram
+        FROM w),
+    bcnt AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+        FROM big GROUP BY 1
+        HAVING count(*) >= {_PMI_MIN_PAIR}),
+    bn AS (
+        SELECT SUM(CAST(c AS BIGINT)) AS b FROM (
+            SELECT count(*) AS c FROM big GROUP BY bigram)),
+    scored AS (
+        SELECT b.bigram, b.c_xy,
+               round(ln((CAST(b.c_xy AS DOUBLE) / CAST(bn.b AS DOUBLE))
+                        / ((CAST(x.c AS DOUBLE) / CAST(un.n AS DOUBLE))
+                           * (CAST(y.c AS DOUBLE) / CAST(un.n AS DOUBLE)))),
+                     6) AS pmi
+        FROM bcnt b
+        JOIN ucnt x ON x.term = split_part(b.bigram, ' ', 1)
+        JOIN ucnt y ON y.term = split_part(b.bigram, ' ', 2)
+        CROSS JOIN un CROSS JOIN bn)
+    SELECT bigram, c_xy, pmi
+    FROM scored
+    ORDER BY pmi DESC, bigram
+    LIMIT {_PMI_TOP_K}
+    """,
+    tags=("text", "collocations", "pmi"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: the top bigrams by pointwise mutual
+    information, PMI = ln(p(xy) / (p(x)·p(y))), restricted to pairs
+    seen ≥ {_PMI_MIN_PAIR} times.
+
+    PMI is computed as one double expression over exact integer
+    counts in the SAME operation order on both engines (divide
+    first, never multiply counts — no bigint overflow at any scale),
+    then rounded; the LIMIT pins a (pmi DESC, bigram) total order.
+
+    Scale shape: unigram and bigram counts are map-side-combined
+    groupBys; the surviving (≥ {_PMI_MIN_PAIR}) bigram table is far
+    smaller than the corpus and joins the unigram vocabulary on the
+    split word — broadcast at this SF, shuffle-joinable at corpus
+    scale; the two 1-row totals are broadcast.
+    """
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    w = docs.select(Q.words(F.lower(F.col("text"))).alias("w"))
+    uni = w.select(F.explode("w").alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    un = ucnt.agg(F.sum("c").alias("n"))
+    big = w.select(F.explode(Q.word_ngrams(F.col("w"), 2)).alias("bigram"))
+    allb = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    bn = allb.agg(F.sum("c_xy").alias("b"))
+    bcnt = allb.filter(F.col("c_xy") >= _PMI_MIN_PAIR)
+    x = ucnt.select(F.col("term").alias("tx"), F.col("c").alias("cx"))
+    y = ucnt.select(F.col("term").alias("ty"), F.col("c").alias("cy"))
+    scored = (
+        bcnt.withColumn("tx", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("ty", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(x), "tx")
+        .join(F.broadcast(y), "ty")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
+        .select(
+            "bigram",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.col("b").cast("double"))
+                    / (
+                        (F.col("cx").cast("double") / F.col("n").cast("double"))
+                        * (F.col("cy").cast("double") / F.col("n").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(_PMI_TOP_K)
+
+
+#: leading-dimension prefix whose retained energy is profiled
+_MATRYOSHKA_DIMS = 8
+
+
+@query(
+    "matryoshka_energy_profile",
+    oracle=f"""
+    WITH r AS (
+        SELECT label,
+               CAST(round(sqrt(
+                   list_reduce(list_transform(embedding[1:{_MATRYOSHKA_DIMS}],
+                                              x -> CAST(x AS DOUBLE)
+                                                   * CAST(x AS DOUBLE)),
+                               (a, b) -> a + b)
+                   / list_reduce(list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE)
+                                                     * CAST(x AS DOUBLE)),
+                                 (a, b) -> a + b)), 6)
+                    AS DECIMAL(10,6)) AS retained
+        FROM embeddings)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(retained) AS DOUBLE) / count(*), 6)
+               AS avg_energy_{_MATRYOSHKA_DIMS}d
+    FROM r GROUP BY label
+    """,
+    tags=("embeddings", "matryoshka", "fold"),
+)
+def matryoshka_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality per label: the average fraction
+    of each embedding's L2 energy retained by its first
+    {_MATRYOSHKA_DIMS} dimensions (≡ cosine similarity between the
+    full vector and its zero-padded prefix).
+
+    Determinism: both engines fold the squared terms LEFT-TO-RIGHT in
+    array order (Spark ``aggregate`` from 0.0, DuckDB ``list_reduce``
+    from the first element — identical because 0.0 + x ≡ x), the
+    per-row double is rounded to DECIMAL, and the cross-row mean sums
+    decimals exactly.
+
+    Scale shape: pure per-row JVM fold (no Python, no shuffle) + one
+    map-side-combined groupBy on a tiny label key.
+    """
+
+    def sumsq(col):
+        return F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda a, v: a + v.cast("double") * v.cast("double"),
+        )
+
+    emb = load(spark, "embeddings", sf_dir)
+    r = emb.select(
+        "label",
+        F.round(
+            F.sqrt(
+                sumsq(F.slice("embedding", 1, _MATRYOSHKA_DIMS))
+                / sumsq(F.col("embedding"))
+            ),
+            6,
+        )
+        .cast("decimal(10,6)")
+        .alias("retained"),
+    )
+    return r.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum("retained").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias(f"avg_energy_{_MATRYOSHKA_DIMS}d"),
+    )
+
+
+@query(
+    "unpivot_returnflag_metrics",
+    oracle="""
+    UNPIVOT (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               CAST(count(*) AS DOUBLE) AS n_items
+        FROM lineitem GROUP BY l_returnflag)
+    ON sum_qty, sum_price, n_items
+    INTO NAME metric VALUE value
+    """,
+    tags=("sql-surface", "unpivot"),
+)
+def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 relational-surface twin of ``returnflag_pivot``:
+    the native UNPIVOT (wide metrics → long key/value rows) via
+    ``DataFrame.unpivot`` ≡ DuckDB ``UNPIVOT``.
+
+    The wide aggregate routes money sums through DECIMAL, then every
+    metric is cast DOUBLE so the melted ``value`` column has one
+    stable type on both engines.
+
+    Scale shape: one map-side-combined groupBy to a 3-row wide table;
+    the unpivot itself is a zero-shuffle Expand.
+    """
+    wide = (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).cast("double").alias("n_items"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "n_items"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "near_dup_components_exact",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source,
+               list_distinct(regexp_split_to_array(
+                   trim(lower(coalesce(text,''))), '\\s+')) AS ts
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ts, b.ts))
+              / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs),
+    verts AS (SELECT DISTINCT u AS vertex FROM edges),
+    reach(vertex, lbl) AS (
+        SELECT vertex, vertex FROM verts
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.vertex),
+    comp AS (SELECT vertex, min(lbl) AS component FROM reach GROUP BY vertex)
+    SELECT component,
+           min(vertex) AS canonical_vertex,
+           CAST(count(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def near_dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT near-duplicate graph
+    (token-set Jaccard ≥ 0.5, blocked by source) — the oracle-checked
+    twin of ``near_dup_clusters``: the same iterative min-label
+    propagation (operators/components.py), but on a deterministic
+    SQL-expressible edge set so DuckDB's recursive CTE can hash-match
+    the full cluster decision (component id ≡ min reachable doc_id,
+    keep-first canonical, cluster size).
+
+    Scale shape: edges come from the blocked-matmul Jaccard stage
+    (bounded pair space, one integer matmul per block pair); each
+    label-propagation round is one shuffle join on vertex id with
+    lineage truncated per round (``localCheckpoint``) — rounds scale
+    with graph DIAMETER (near-dup graphs are shallow), never with
+    corpus size. The quadratic recursive CTE is oracle-only.
+    """
+    from ..operators.ann import jaccard_pairs_blocked
+    from ..operators.components import canonical_per_cluster, connected_components
+
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        ).alias("ts"),
+    )
+    pairs = jaccard_pairs_blocked(
+        toks,
+        id_col="doc_id",
+        tokens_col="ts",
+        block_col="source",
+        threshold=0.5,
+        n_sub_blocks=8,
+    )
+    comps = connected_components(pairs)
+    return canonical_per_cluster(comps).select(
+        "component",
+        "canonical_vertex",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+#: fixed-width PSI bucket size over o_totalprice (range ≈ [900, 600k])
+_PSI_BUCKET_WIDTH = 60000.0
+_PSI_BUCKETS = 10
+
+
+@query(
+    "psi_price_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(least(floor(o_totalprice / {_PSI_BUCKET_WIDTH}),
+                          {_PSI_BUCKETS - 1}) AS INTEGER) + 1 AS bucket,
+               CASE WHEN year(o_orderdate) <= 1994 THEN 1 ELSE 0 END AS base
+        FROM orders),
+    counts AS (
+        SELECT bucket,
+               CAST(SUM(base) AS BIGINT) AS n_base,
+               CAST(SUM(1 - base) AS BIGINT) AS n_cur
+        FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM counts)
+    SELECT bucket, n_base, n_cur,
+           round((CAST(n_base + 1 AS DOUBLE)
+                      / CAST(tot.tb + {_PSI_BUCKETS} AS DOUBLE)
+                  - CAST(n_cur + 1 AS DOUBLE)
+                      / CAST(tot.tc + {_PSI_BUCKETS} AS DOUBLE))
+                 * ln((CAST(n_base + 1 AS DOUBLE)
+                           / CAST(tot.tb + {_PSI_BUCKETS} AS DOUBLE))
+                      / (CAST(n_cur + 1 AS DOUBLE)
+                             / CAST(tot.tc + {_PSI_BUCKETS} AS DOUBLE))),
+                 8) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+    tags=("stats", "drift", "psi"),
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit: the order-price
+    distribution of the baseline period (orders through 1994) vs the
+    current period, banded into fixed-width buckets, one Laplace-
+    smoothed PSI term per bucket (the standard model-monitoring
+    drift metric; Σ terms ≥ 0.2 conventionally flags drift).
+
+    Bucket ids come from plain floor-division arithmetic (identical
+    double ops on both engines — no engine-specific width_bucket),
+    counts are exact integers, and each PSI term is one shared IEEE
+    expression over those integers, rounded at the end.
+
+    Scale shape: one map-side-combined groupBy onto ≤ 10 bucket rows;
+    the totals row is broadcast. Nothing else moves.
+    """
+    b = load(spark, "orders", sf_dir).select(
+        (
+            F.least(
+                F.floor(F.col("o_totalprice") / F.lit(_PSI_BUCKET_WIDTH)),
+                F.lit(_PSI_BUCKETS - 1),
+            ).cast("int")
+            + 1
+        ).alias("bucket"),
+        F.when(F.year("o_orderdate") <= 1994, 1).otherwise(0).alias("base"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum("base").alias("n_base"),
+        F.sum(1 - F.col("base")).alias("n_cur"),
+    )
+    tot = counts.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
+    k = F.lit(float(_PSI_BUCKETS))
+    p = (F.col("n_base") + 1).cast("double") / (F.col("tb") + k).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + k).cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 8).alias("psi_term"),
+    )
+
+
+_SHARE_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           round(o.o_totalprice /
+                 (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE)
+                  FROM {orders} o2
+                  WHERE o2.o_custkey = o.o_custkey), 6) AS share
+    FROM {orders} o
+    WHERE o.o_totalprice > 400000
+"""
+
+
+@query(
+    "order_share_of_customer",
+    oracle=_SHARE_SQL.format(orders="orders"),
+    tags=("sql-surface", "correlated-subquery"),
+)
+def order_share_of_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery surface: each large order's share of
+    its customer's lifetime spend, written as correlated SQL on BOTH
+    engines (the same statement verbatim) — exercising Catalyst's
+    subquery decorrelation, which rewrites the per-row subquery into
+    one aggregate + join.
+
+    The inner sum routes through DECIMAL so the double division is
+    order-independent; Spark's decorrelated plan is a broadcast-able
+    aggregate join, not N subquery executions — the scale story the
+    row-at-a-time reference (one find() per document) cannot have.
+    """
+    load(spark, "orders", sf_dir).createOrReplaceTempView("stats_share_orders")
+    return spark.sql(_SHARE_SQL.format(orders="stats_share_orders"))
+
+
+@query(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey),
+    tot AS (
+        SELECT s_nationkey,
+               SUM(rev) AS total_rev,
+               CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY s_nationkey),
+    terms AS (
+        SELECT rev.s_nationkey,
+               CAST(round((CAST(rev.rev AS DOUBLE) / CAST(tot.total_rev AS DOUBLE))
+                          * (CAST(rev.rev AS DOUBLE) / CAST(tot.total_rev AS DOUBLE)),
+                          10) AS DECIMAL(12,10)) AS term
+        FROM rev JOIN tot USING (s_nationkey))
+    SELECT n.n_name,
+           ANY_VALUE(tot.n_suppliers) AS n_suppliers,
+           round(CAST(SUM(terms.term) AS DOUBLE), 6) AS hhi
+    FROM terms
+    JOIN tot USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = terms.s_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("stats", "concentration", "hhi"),
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per nation:
+    the sum of squared supplier revenue shares (1/n = perfectly
+    competitive, 1.0 = monopoly) — the standard concentration audit
+    over a marketplace fact table.
+
+    Shares divide exact DECIMAL revenue sums as doubles in the same
+    op order on both engines; each squared share is rounded to
+    DECIMAL before the cross-supplier sum, so the per-nation total is
+    aggregation-order-independent.
+
+    Scale shape: lineitem shuffles ONCE on supplier key (map-side
+    partials); everything after operates on the supplier-level
+    aggregate (≪ fact); nation and the per-nation totals broadcast.
+    """
+    li = load(spark, "lineitem", sf_dir).select("l_suppkey", "l_extendedprice")
+    sup = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nat = load(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("rev").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("rev").cast("double") / F.col("total_rev").cast("double")
+    terms = rev.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        F.round(share * share, 10).cast("decimal(12,10)").alias("term"),
+    )
+    return (
+        terms.join(F.broadcast(nat), terms.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.first("n_suppliers").alias("n_suppliers"),
+            F.round(F.sum("term").cast("double"), 6).alias("hhi"),
+        )
+    )

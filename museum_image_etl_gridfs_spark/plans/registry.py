@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "museum_image_etl_gridfs_spark.plans.queries_profile",
     "museum_image_etl_gridfs_spark.plans.queries_funnel",
     "museum_image_etl_gridfs_spark.plans.queries_analytics",
+    "museum_image_etl_gridfs_spark.plans.queries_stats",
 )
 
 

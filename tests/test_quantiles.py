@@ -8,7 +8,11 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from museum_image_etl_gridfs_spark.operators.quantiles import ntile_exact
+from museum_image_etl_gridfs_spark.operators.quantiles import (
+    global_row_number,
+    ntile_exact,
+    running_totals,
+)
 
 
 def _reference(df, keys, k):
@@ -101,3 +105,68 @@ def test_nan_lead_key_rejected(spark):
     )
     with pytest.raises(ValueError, match="NaN"):
         ntile_exact(df, ["x", "id"], 2, out_col="b").collect()
+
+
+# ---- global_row_number / running_totals (shared machinery) ----
+
+
+def test_global_row_number_matches_spark_window(spark):
+    rows = [(float(i % 53), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "v double, id long").repartition(8)
+    got = global_row_number(df, ["v", "id"], out_col="rn")
+    want = df.withColumn("rn", F.row_number().over(Window.orderBy("v", "id")))
+    assert got.select("v", "id", "rn").subtract(want.select("v", "id", "rn")).count() == 0
+    assert want.select("v", "id", "rn").subtract(got.select("v", "id", "rn")).count() == 0
+
+
+def test_global_row_number_no_single_partition_exchange(spark):
+    rows = [(float(i), i) for i in range(100)]
+    df = spark.createDataFrame(rows, "v double, id long").repartition(4)
+    out = global_row_number(df, ["v", "id"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_running_totals_matches_global_window(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(float(rng.randint(0, 40)), i, rng.randint(1, 9), rng.randint(0, 5))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "v double, id long, a long, b long")
+    df = df.repartition(6)
+    got = running_totals(df, ["v", "id"], ["a", "b"])
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum_a", F.sum("a").over(w)).withColumn(
+        "cum_b", F.sum("b").over(w)
+    )
+    cols = ["v", "id", "cum_a", "cum_b"]
+    assert got.select(*cols).subtract(want.select(*cols)).count() == 0
+    assert want.select(*cols).subtract(got.select(*cols)).count() == 0
+
+
+def test_running_totals_decimal_values_exact(spark):
+    rows = [(float(i % 11), i, f"{i}.25") for i in range(50)]
+    df = spark.createDataFrame(rows, "v double, id long, m string")
+    df = df.select("v", "id", F.col("m").cast("decimal(10,2)").alias("m"))
+    got = running_totals(df, ["v", "id"], ["m"])
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum_m", F.sum("m").over(w))
+    a = {(r["id"]): r["cum_m"] for r in got.collect()}
+    b = {(r["id"]): r["cum_m"] for r in want.collect()}
+    assert a == b
+
+
+def test_running_totals_empty_input(spark):
+    df = spark.createDataFrame([], "v double, id long, a long")
+    out = running_totals(df, ["v", "id"], ["a"])
+    assert out.count() == 0
+    assert "cum_a" in out.columns
