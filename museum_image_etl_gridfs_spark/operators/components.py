@@ -39,6 +39,10 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # every propagation round joins sym; without a checkpoint the
+        # edge producer (e.g. a blocked-matmul similarity stage)
+        # re-executes per round (measured 20 s -> ~6 s at sf0.1)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("u").alias("vertex"))

@@ -44,6 +44,12 @@ def _with_range_pid(
     lead = order_keys[0]
     spark = df.sparkSession
     nb = max(spark.sparkContext.defaultParallelism, 2) * buckets_per_core
+    # The machinery reads its input 3x (min/max probe, per-bucket
+    # partials, final join). A lazy checkpoint materializes the
+    # upstream ONCE at the probe and pins its partitioning; without it
+    # an expensive upstream (join + groupBy) re-executes per pass
+    # (measured 17.7 s -> 4 s on the Gini query at sf0.1).
+    df = df.localCheckpoint(eager=False)
     mn, mx, n_null, n_nan = df.agg(
         F.min(lead),
         F.max(lead),

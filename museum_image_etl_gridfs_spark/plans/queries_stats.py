@@ -177,7 +177,10 @@ def ks_returned_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cdf = running_totals(vals, ["price"], ["r", "o"])
-    tot = vals.agg(F.sum("r").alias("nr"), F.sum("o").alias("no"))
+    # totals = the running sums at the max price (monotone prefix), so
+    # this agg reads the checkpointed CDF instead of re-executing the
+    # distinct-value groupBy a fourth time
+    tot = cdf.agg(F.max("cum_r").alias("nr"), F.max("cum_o").alias("no"))
     d = cdf.crossJoin(F.broadcast(tot)).select(
         "price",
         "nr",
@@ -398,10 +401,17 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
     w = docs.select(Q.words(F.lower(F.col("text"))).alias("w"))
-    uni = w.select(F.explode("w").alias("term"))
+    # explode_outer + IS NOT NULL: plain explode would let
+    # InferFiltersFromGenerate inline the whole tokenizer chain into a
+    # scan-side size() filter, re-evaluated per row (NOTES.md trap)
+    uni = w.select(F.explode_outer("w").alias("term")).filter(
+        F.col("term").isNotNull()
+    )
     ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     un = ucnt.agg(F.sum("c").alias("n"))
-    big = w.select(F.explode(Q.word_ngrams(F.col("w"), 2)).alias("bigram"))
+    big = w.select(
+        F.explode_outer(Q.word_ngrams(F.col("w"), 2)).alias("bigram")
+    ).filter(F.col("bigram").isNotNull())
     allb = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
     bn = allb.agg(F.sum("c_xy").alias("b"))
     bcnt = allb.filter(F.col("c_xy") >= _PMI_MIN_PAIR)
