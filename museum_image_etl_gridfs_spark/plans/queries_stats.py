@@ -604,37 +604,74 @@ def near_dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full cluster decision (component id ≡ min reachable doc_id,
     keep-first canonical, cluster size).
 
-    Scale shape: edges come from the blocked-matmul Jaccard stage
-    (bounded pair space, one integer matmul per block pair); each
-    label-propagation round is one shuffle join on vertex id with
-    lineage truncated per round (``localCheckpoint``) — rounds scale
-    with graph DIAMETER (near-dup graphs are shallow), never with
-    corpus size. The quadratic recursive CTE is oracle-only.
+    Scale shape — exact-dedup BEFORE near-dedup, the production
+    ordering: docs with an identical (source, token-set) collapse to
+    one representative (min doc_id) FIRST, so the quadratic pair
+    stage runs on distinct texts only — on a duplicate-heavy corpus
+    the pair space shrinks with the square of duplicate multiplicity
+    (measured 230 s → ~13 s at 10× with 10-copy replication). The
+    collapse is lossless: exact duplicates have Jaccard 1.0, so they
+    always share a component; multi-member groups enter the graph as
+    self-edges, membership re-expands by fingerprint at the end, and
+    the min-doc_id labels are preserved because each representative
+    IS its group's min. Pair edges then come from the blocked-matmul
+    Jaccard stage; each label-propagation round is one shuffle join
+    on vertex id (lineage checkpoint-truncated) — rounds scale with
+    graph DIAMETER, never corpus size. The quadratic recursive CTE is
+    oracle-only.
     """
     from ..operators.ann import jaccard_pairs_blocked
-    from ..operators.components import canonical_per_cluster, connected_components
+    from ..operators.components import connected_components
 
     docs = load(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id",
         "source",
-        F.split(
-            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        F.sort_array(
+            F.array_distinct(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                    r"\s+",
+                )
+            )
         ).alias("ts"),
+    ).withColumn("fp", F.md5(F.concat_ws("\x1f", F.col("ts"))))
+    groups = toks.groupBy("source", "fp").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min_by("ts", "doc_id").alias("ts"),
+        F.count(F.lit(1)).alias("grp_n"),
     )
-    pairs = jaccard_pairs_blocked(
-        toks,
+    rep_pairs = jaccard_pairs_blocked(
+        groups.select(F.col("rep_id").alias("doc_id"), "source", "ts"),
         id_col="doc_id",
         tokens_col="ts",
         block_col="source",
         threshold=0.5,
         n_sub_blocks=8,
     )
-    comps = connected_components(pairs)
-    return canonical_per_cluster(comps).select(
-        "component",
-        "canonical_vertex",
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+    # an exact-duplicate group is a clique even with no other
+    # neighbor: a self-edge keeps its representative in the graph
+    self_edges = groups.filter(F.col("grp_n") >= 2).select(
+        F.col("rep_id").alias("id_a"), F.col("rep_id").alias("id_b")
+    )
+    comps = connected_components(
+        rep_pairs.select("id_a", "id_b").unionByName(self_edges)
+    )
+    members = toks.join(groups.select("source", "fp", "rep_id"), ["source", "fp"])
+    doc_comp = members.join(
+        comps, members.rep_id == comps.vertex
+    ).select("doc_id", "component")
+    return (
+        doc_comp.groupBy("component")
+        .agg(
+            F.min("doc_id").alias("canonical_vertex"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            "component",
+            "canonical_vertex",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
     )
 
 
@@ -817,3 +854,198 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term").cast("double"), 6).alias("hhi"),
         )
     )
+
+
+@query(
+    "trimmed_mean_prices",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag, l_extendedprice AS price
+        FROM lineitem),
+    fences AS (
+        SELECT l_returnflag,
+               quantile_cont(price, 0.05) AS p05,
+               quantile_cont(price, 0.95) AS p95
+        FROM q GROUP BY l_returnflag)
+    SELECT q.l_returnflag,
+           round(ANY_VALUE(fences.p05), 4) AS p05,
+           round(ANY_VALUE(fences.p95), 4) AS p95,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CAST(q.price AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS trimmed_mean
+    FROM q JOIN fences USING (l_returnflag)
+    WHERE q.price >= fences.p05 AND q.price <= fences.p95
+    GROUP BY q.l_returnflag
+    """,
+    tags=("stats", "robust", "trimmed-mean"),
+)
+def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5–95% trimmed mean of line-item prices per return flag — the
+    robust location estimate that ignores both tails (companion to
+    the MAD fence audit).
+
+    The exact 5th/95th percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, same interpolation) bound identically on both
+    engines; the kept-rows mean routes through DECIMAL so it is
+    aggregation-order-independent.
+
+    Scale shape: one grouped percentile pass (swap approx_percentile
+    at 100 TB — identical plan shape), tiny fence table broadcast
+    back, one map-side-combined re-aggregation.
+    """
+    q = load(spark, "lineitem", sf_dir).select(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    )
+    fences = q.groupBy("l_returnflag").agg(
+        F.percentile("price", F.lit(0.05)).alias("p05"),
+        F.percentile("price", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        q.join(F.broadcast(fences), "l_returnflag")
+        .filter((F.col("price") >= F.col("p05")) & (F.col("price") <= F.col("p95")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("p05"), 4).alias("p05"),
+            F.round(F.first("p95"), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                F.sum(F.col("price").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+#: numeric lineitem measures whose pairwise correlations are audited
+_CORR_VARS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    vs = _CORR_VARS
+    return [(vs[i], vs[j]) for i in range(len(vs)) for j in range(i + 1, len(vs))]
+
+
+def _sql_corr_expr(x: str, y: str) -> str:
+    """Pearson r from exact integer sufficient statistics, combined in
+    one fixed double op order (shared between engines)."""
+    return (
+        f"round((CAST(n AS DOUBLE) * CAST(s_{x}_{y} AS DOUBLE)"
+        f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+        f" / (sqrt(CAST(n AS DOUBLE) * CAST(s_{x}_{x} AS DOUBLE)"
+        f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+        f" * sqrt(CAST(n AS DOUBLE) * CAST(s_{y}_{y} AS DOUBLE)"
+        f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 8)"
+    )
+
+
+def _scaled(v: str) -> str:
+    # exact integer rep of a ≤2-decimal money/ratio double; round()
+    # yields an exact N.0 so the BIGINT cast is identical on both
+    # engines despite their different double→int cast rules
+    return f"CAST(round({v} * 100) AS BIGINT)"
+
+
+def _corr_stats_sql() -> str:
+    stats = ["CAST(count(*) AS BIGINT) AS n"]
+    for v in _CORR_VARS:
+        stats.append(f"SUM({_scaled(v)}) AS s_{v}")
+    for i, x in enumerate(_CORR_VARS):
+        for y in _CORR_VARS[i:]:
+            stats.append(
+                f"SUM(CAST({_scaled(x)} * {_scaled(y)} AS DECIMAL(38,0)))"
+                f" AS s_{x}_{y}"
+            )
+    return ",\n               ".join(stats)
+
+
+_CORR_ORACLE = (
+    "    WITH s AS (\n        SELECT "
+    + _corr_stats_sql()
+    + "\n        FROM lineitem)\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT '{x}' AS var_x, '{y}' AS var_y, {_sql_corr_expr(x, y)} AS corr"
+        f" FROM s"
+        for x, y in _corr_pairs()
+    )
+)
+
+
+@query(
+    "pairwise_price_correlations",
+    oracle=_CORR_ORACLE,
+    tags=("stats", "correlation", "sufficient-stats"),
+)
+def pairwise_price_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (upper triangle) of the four numeric
+    line-item measures in ONE pass — the distributed-corr recipe:
+    each measure is scaled to an exact integer (×100 — r is invariant
+    under linear scaling, so no rescale is ever needed), every Σx,
+    Σx², Σxy is then an exact integer/DECIMAL sum (order-
+    independent; no decimal×decimal, which overflows DuckDB's 38-digit
+    multiply), and r is one shared double expression over those
+    scalars, so both engines produce identical bits (the
+    ols_price_trend route generalized to a matrix).
+
+    Scale shape: a single map-side-combined global aggregate (one
+    reduce to 1 row); the 6-row matrix is built by re-projecting that
+    row — no second pass over the fact, no Python, no shuffle beyond
+    the 1-row reduce.
+    """
+    li = load(spark, "lineitem", sf_dir)
+
+    def scaled(v: str):
+        return F.round(F.col(v) * 100, 0).cast("long")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for v in _CORR_VARS:
+        aggs.append(F.sum(scaled(v)).alias(f"s_{v}"))
+    for i, x in enumerate(_CORR_VARS):
+        for y in _CORR_VARS[i:]:
+            aggs.append(
+                F.sum((scaled(x) * scaled(y)).cast("decimal(38,0)"))
+                .alias(f"s_{x}_{y}")
+            )
+    s = li.agg(*aggs)
+    rows = [
+        s.select(
+            F.lit(x).alias("var_x"),
+            F.lit(y).alias("var_y"),
+            F.expr(_sql_corr_expr(x, y)).alias("corr"),
+        )
+        for x, y in _corr_pairs()
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_GBA_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM {lineitem}
+    GROUP BY ALL
+"""
+
+
+@query(
+    "group_by_all_revenue",
+    oracle=_GBA_SQL.format(lineitem="lineitem"),
+    tags=("sql-surface", "group-by-all"),
+)
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` SQL surface (infer grouping keys from the
+    non-aggregate select list) — the same statement runs verbatim on
+    Spark 4 and DuckDB; revenue routes through DECIMAL as everywhere.
+
+    Scale shape: ordinary map-side-combined hash aggregate on a 6-row
+    group space.
+    """
+    load(spark, "lineitem", sf_dir).createOrReplaceTempView(
+        "stats_gba_lineitem"
+    )
+    return spark.sql(_GBA_SQL.format(lineitem="stats_gba_lineitem"))
