@@ -1049,3 +1049,214 @@ def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stats_gba_lineitem"
     )
     return spark.sql(_GBA_SQL.format(lineitem="stats_gba_lineitem"))
+
+
+#: the recursive clause — shared verbatim between engines; only the
+#: edge/seed derivation differs (Spark materializes edges first)
+_REACH_RECURSION = """
+    WITH RECURSIVE reach(brand, hops) AS (
+        SELECT b, 0 FROM {seed}
+        UNION ALL
+        SELECT e.b2, r.hops + 1
+        FROM reach r JOIN {edges} e ON e.b1 = r.brand
+        WHERE r.hops < 3
+    )
+    SELECT brand, CAST(min(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY brand
+"""
+
+_REACH_ORACLE = """
+    WITH RECURSIVE bp AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    edges AS (
+        SELECT DISTINCT a.p_brand AS b1, b.p_brand AS b2
+        FROM bp a JOIN bp b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand),
+    seed AS (SELECT min(p_brand) AS b FROM part),
+    reach(brand, hops) AS (
+        SELECT b, 0 FROM seed
+        UNION ALL
+        SELECT e.b2, r.hops + 1
+        FROM reach r JOIN edges e ON e.b1 = r.brand
+        WHERE r.hops < 3
+    )
+    SELECT brand, CAST(min(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY brand
+"""
+
+
+@query(
+    "recursive_brand_reach",
+    oracle=_REACH_ORACLE,
+    tags=("sql-surface", "recursive-cte", "graph"),
+)
+def recursive_brand_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` SQL surface (Spark 4's recursive CTE): BFS
+    hop distance from the lexicographically-first brand over the
+    brand co-purchase graph; min(hops) collapses the bounded path
+    enumeration into shortest-path distances.
+
+    Scale shape: the co-occurrence edge list (order-key self-join,
+    basket-bounded fan-out) is derived ONCE and checkpoint-
+    materialized before the recursion — a recursive CTE re-evaluates
+    its step subplan every iteration, so an inlined edge derivation
+    re-ran the fact self-join 4× (measured 60 s → ~3 s at 10×). The
+    recursion itself touches only the 25-node brand graph. (cf.
+    operators/components.py for the unbounded-vertex-count variant —
+    recursion depth there is graph diameter, not a literal hop cap.)
+    """
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    bp = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
+    b = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("b1") != F.col("b2"))
+        .select("b1", "b2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges.createOrReplaceTempView("stats_reach_edges")
+    part.agg(F.min("p_brand").alias("b")).createOrReplaceTempView(
+        "stats_reach_seed"
+    )
+    return spark.sql(
+        _REACH_RECURSION.format(seed="stats_reach_seed", edges="stats_reach_edges")
+    )
+
+
+#: negatives kept per customer
+_NEG_K = 3
+#: hash draws per customer (headroom over K for invalid/seen/dup hits)
+_NEG_DRAWS = 8
+#: odd multiplier decorrelating the customer key from the draw index
+_NEG_PAIR_MULT = 1000003
+#: per-draw salt (prime) so draws of one customer decorrelate
+_NEG_DRAW_SALT = 7919
+
+
+def _neg_oracle() -> str:
+    from ..functions.keys import KNUTH
+
+    # same portable arithmetic as the Spark side: pre-fold the salted
+    # key below 2^31 so key*KNUTH stays within int64 at ANY key scale
+    # (DuckDB raises on bigint overflow where Spark silently wraps),
+    # then Knuth-hash and map into the live part-key domain
+    guess = (
+        f"1 + ((((c.c_custkey * {_NEG_PAIR_MULT}"
+        f" + i.draw * {_NEG_DRAW_SALT}) % 2147483647) * {KNUTH})"
+        f" % 4294967296) % (SELECT max(p_partkey) FROM part)"
+    )
+    return f"""
+    WITH draws AS (
+        SELECT c.c_custkey, i.draw, {guess} AS guess
+        FROM customer c
+        CROSS JOIN (SELECT unnest(range(0, {_NEG_DRAWS})) AS draw) i),
+    valid AS (
+        SELECT d.c_custkey, d.draw, p.p_partkey
+        FROM draws d JOIN part p ON p.p_partkey = d.guess),
+    seen AS (
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    fresh AS (
+        SELECT v.c_custkey, v.draw, v.p_partkey
+        FROM valid v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM seen s
+            WHERE s.o_custkey = v.c_custkey AND s.l_partkey = v.p_partkey)),
+    dedup AS (
+        SELECT c_custkey, draw, p_partkey,
+               row_number() OVER (PARTITION BY c_custkey, p_partkey
+                                  ORDER BY draw) AS dup_rn
+        FROM fresh),
+    ranked AS (
+        SELECT c_custkey, p_partkey,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY draw) AS neg_rank
+        FROM dedup WHERE dup_rn = 1)
+    SELECT c_custkey, p_partkey, CAST(neg_rank AS INTEGER) AS neg_rank
+    FROM ranked WHERE neg_rank <= {_NEG_K}
+    """
+
+
+@query(
+    "negative_sampling_pairs",
+    oracle=_neg_oracle(),
+    tags=("traindata", "negative-sampling", "extension"),
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive / recommender
+    training: for every customer, up to K pseudo-random parts they
+    have NEVER ordered, produced by a FIXED number of portable hash
+    draws per customer — rerun-stable on both engines, no RNG.
+
+    Each of the 8 salted Knuth-hash draws maps into the part-key
+    domain, is validated against the part dimension, anti-joined
+    against the customer's observed parts, deduplicated, and the
+    first K surviving draws (in draw order) are kept. All arithmetic
+    pre-folds below 2^31 so the hash never overflows int64 on either
+    engine.
+
+    Scale shape: O(customers × 8) candidate rows — LINEAR in the
+    customer dimension (a pool×customers cross join would be
+    quadratic-ish and was measured unusable at 10×); the part-
+    validation and seen anti-join are both key-partitioned shuffle
+    joins; the final windows partition by customer. The max-partkey
+    probe is one driver scalar (the quantiles-machinery pattern).
+    """
+    from ..functions.keys import KNUTH
+
+    part = load(spark, "part", sf_dir).select("p_partkey")
+    cust = load(spark, "customer", sf_dir).select("c_custkey")
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    maxp = part.agg(F.max("p_partkey")).first()[0]
+    draws = cust.select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_NEG_DRAWS - 1))).alias("draw"),
+    ).withColumn(
+        "guess",
+        1
+        + F.pmod(
+            F.pmod(
+                F.col("c_custkey").cast("long") * _NEG_PAIR_MULT
+                + F.col("draw") * _NEG_DRAW_SALT,
+                F.lit(2147483647),
+            )
+            * F.lit(KNUTH),
+            F.lit(2**32),
+        )
+        % F.lit(int(maxp)),
+    )
+    valid = draws.join(part, draws.guess == part.p_partkey).select(
+        "c_custkey", "draw", "p_partkey"
+    )
+    seen = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    fresh = valid.join(
+        seen,
+        (valid.c_custkey == seen.o_custkey) & (valid.p_partkey == seen.l_partkey),
+        "left_anti",
+    )
+    dup_w = Window.partitionBy("c_custkey", "p_partkey").orderBy("draw")
+    rank_w = Window.partitionBy("c_custkey").orderBy("draw")
+    return (
+        fresh.withColumn("dup_rn", F.row_number().over(dup_w))
+        .filter(F.col("dup_rn") == 1)
+        .withColumn("neg_rank", F.row_number().over(rank_w))
+        .filter(F.col("neg_rank") <= _NEG_K)
+        .select(
+            "c_custkey",
+            "p_partkey",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )
