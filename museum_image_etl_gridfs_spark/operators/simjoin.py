@@ -1,0 +1,134 @@
+"""Prefix-filtered exact set-similarity join (AllPairs / PPJoin
+family, Bayardo et al., WWW'07; Xiao et al., WWW'08 — public
+algorithms re-expressed as DataFrame ops).
+
+The third strategy in the near-dup toolbox, between the quadratic
+blocked matmul (operators/ann.py — exact, bounded by block size) and
+MinHash-LSH (operators/dedup.py — subquadratic but approximate):
+EXACT Jaccard-threshold pairs at subquadratic cost.
+
+Key fact: order every token set by GLOBAL token frequency
+(rarest first). For Jaccard(x, y) ≥ t, x and y must share at least
+one token among each one's first ``|s| − ⌈t·|s|⌉ + 1`` ordered tokens
+(the prefix) — so candidates are only pairs sharing a PREFIX token,
+and prefixes are short and start with rare tokens, which keeps the
+token-keyed candidate join sparse. Every candidate is then verified
+exactly, so the output is identical to the brute-force join.
+
+Scale shape: one vocabulary aggregate (map-side combined, result
+broadcast), one explode of short prefixes, one token-keyed self-join
+whose fan-out per token is bounded by that token's document
+frequency (the frequency ordering puts hot tokens OUT of prefixes),
+and one exact verification join on the pair key. No stage is
+quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for every pair with exact token-set
+    Jaccard ≥ ``threshold`` (``id_a < id_b``); pairs are restricted to
+    equal ``block_col`` when given (same contract as
+    ``operators/ann.jaccard_pairs_blocked``).
+
+    Exact: the prefix filter only PRUNES candidates that provably
+    cannot reach the threshold; survivors are verified with exact
+    intersection arithmetic.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    blk = F.col(block_col) if block_col else F.lit(0)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.col(tokens_col)).alias("ts"),
+        blk.alias("blk"),
+    )
+
+    # global document frequency per token -> rarest-first total order
+    # (df, token) so ordering is deterministic across runs/engines
+    vocab = (
+        base.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    rank_w = Window.orderBy("df", "tok")
+    # the vocabulary is post-aggregation (≪ corpus); the rank window
+    # is the only global ordering and runs over that small table —
+    # replace with quantiles.global_row_number if the vocabulary
+    # itself ever becomes corpus-sized
+    ranked = vocab.withColumn("rnk", F.row_number().over(rank_w)).select(
+        "tok", "rnk"
+    )
+
+    # order each set rarest-first and keep the prefix
+    with_rnk = (
+        base.select("id", "blk", F.size("ts").alias("n"), "ts")
+        .withColumn("tok", F.explode("ts"))
+        .join(F.broadcast(ranked), "tok")
+    )
+    ordered = (
+        with_rnk.groupBy("id", "blk", "n")
+        .agg(F.sort_array(F.collect_list(F.struct("rnk", "tok"))).alias("ord"))
+        .withColumn(
+            "plen",
+            F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1,
+        )
+        .withColumn("prefix", F.expr("slice(ord.rnk, 1, plen)"))
+    )
+
+    cand = (
+        ordered.select("id", "blk", F.explode("prefix").alias("p"))
+        .alias("a")
+        .join(
+            ordered.select("id", "blk", F.explode("prefix").alias("p")).alias(
+                "b"
+            ),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sets = ordered.select("id", F.col("ord.tok").alias("toks"), "n")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("ts_a"),
+                F.col("n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("ts_b"),
+                F.col("n").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ts_a", "ts_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("na") + F.col("nb") - F.col("inter") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")

@@ -1260,3 +1260,56 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neg_rank").cast("int").alias("neg_rank"),
         )
     )
+
+
+@query(
+    "prefix_join_near_dups",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(regexp_split_to_array(
+                   trim(lower(coalesce(text,''))), '\\s+')) AS ts
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.ts, b.ts))) = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE len(list_intersect(a.ts, b.ts))
+                     / len(list_distinct(list_concat(a.ts, b.ts))) END
+               AS jaccard
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ts, b.ts))
+          / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5
+    """,
+    tags=("dedup", "similarity", "prefix-filter"),
+)
+def prefix_join_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.5 near-duplicate pairs via the PREFIX-FILTER
+    set-similarity join (operators/simjoin.py, AllPairs/PPJoin
+    family) — the third strategy in the near-dup toolbox and the
+    subquadratic EXACT one: same output as the quadratic oracle join
+    (and as ``ngram_jaccard_pairs``' blocked matmul), but candidates
+    are only pairs sharing a rare ordered-prefix token.
+
+    Scale shape: vocabulary aggregate (broadcast), short-prefix
+    explode, token-keyed candidate join bounded by per-token document
+    frequency, exact verification on survivors — candidate count
+    tracks true-pair density, not corpus².
+    """
+    from ..operators.simjoin import prefix_filter_jaccard_join
+
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        ).alias("ts"),
+    )
+    return prefix_filter_jaccard_join(
+        toks,
+        id_col="doc_id",
+        tokens_col="ts",
+        threshold=0.5,
+        block_col="source",
+    )

@@ -1,0 +1,88 @@
+"""prefix_filter_jaccard_join must return EXACTLY the brute-force
+Jaccard-threshold pairs — the prefix filter may only prune pairs that
+provably cannot reach the threshold."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from museum_image_etl_gridfs_spark.operators.simjoin import (
+    prefix_filter_jaccard_join,
+)
+
+
+def _brute(rows, t):
+    out = set()
+    for (ia, sa, ba), (ib, sb, bb) in itertools.combinations(rows, 2):
+        if ba != bb:
+            continue
+        u = len(sa | sb)
+        j = (len(sa & sb) / u) if u else 0.0
+        if j >= t:
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            out.add((lo, hi))
+    return out
+
+
+def _run(spark, rows, t, block=True):
+    df = spark.createDataFrame(
+        [(i, list(s), b) for i, s, b in rows], "id long, ts array<string>, blk int"
+    )
+    got = prefix_filter_jaccard_join(
+        df,
+        id_col="id",
+        tokens_col="ts",
+        threshold=t,
+        block_col="blk" if block else None,
+    )
+    return {(r["id_a"], r["id_b"]) for r in got.collect()}
+
+
+@pytest.mark.parametrize("seed,t", [(0, 0.5), (1, 0.6), (2, 0.8), (3, 0.3)])
+def test_random_sets_match_brute_force(spark, seed, t):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        n = rng.randint(1, 12)
+        rows.append((i, set(rng.sample(vocab, n)), rng.randint(0, 1)))
+    # inject near-dup pairs so the threshold actually fires
+    for i in range(100, 110):
+        base = set(rows[i - 100][1])
+        if base:
+            base.add(f"x{i}")
+        rows.append((1000 + i, base, rows[i - 100][2]))
+    assert _run(spark, rows, t) == _brute(rows, t)
+
+
+def test_exact_duplicates_and_unblocked(spark):
+    rows = [
+        (1, {"a", "b", "c"}, 0),
+        (2, {"a", "b", "c"}, 0),
+        (3, {"a", "b"}, 0),
+        (4, {"z"}, 0),
+        (5, {"z"}, 0),
+    ]
+    got = _run(spark, rows, 0.99, block=False)
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_jaccard_values_are_exact_ratios(spark):
+    rows = [(1, {"a", "b", "c", "d"}, 0), (2, {"a", "b", "c"}, 0)]
+    df = spark.createDataFrame(
+        [(i, list(s), b) for i, s, b in rows], "id long, ts array<string>, blk int"
+    )
+    out = prefix_filter_jaccard_join(
+        df, id_col="id", tokens_col="ts", threshold=0.5, block_col="blk"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == 3 / 4
+
+
+def test_empty_and_singleton_sets(spark):
+    rows = [(1, set(), 0), (2, set(), 0), (3, {"q"}, 0), (4, {"q"}, 0)]
+    assert _run(spark, rows, 0.5) == {(3, 4)}
