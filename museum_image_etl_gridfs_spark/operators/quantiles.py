@@ -139,11 +139,22 @@ def running_totals(
     result is independent of bucket boundaries; NULL values are not
     supported (the offset arithmetic would silently treat them as 0).
     """
+    # the SUM-widened result type per value column (long for ints,
+    # widened decimal) — used by BOTH the empty and non-empty paths so
+    # the output schema never depends on whether the input had rows
+    sum_types = {
+        f.name: f.dataType
+        for f in df.groupBy()
+        .agg(*[F.sum(c).alias(f"__off_{c}") for c in value_cols])
+        .schema.fields
+    }
     t = _with_range_pid(df, order_keys, buckets_per_core)
     if t is None:
         out = df
         for c in value_cols:
-            out = out.withColumn(prefix + c, F.col(c))
+            out = out.withColumn(
+                prefix + c, F.col(c).cast(sum_types[f"__off_{c}"])
+            )
         return out
     spark = df.sparkSession
     agg_df = t.groupBy("__pid").agg(
@@ -168,11 +179,15 @@ def running_totals(
     )
     out = t.join(off, "__pid")
     for c in value_cols:
-        dt = agg_df.schema[f"__off_{c}"].dataType
+        dt = sum_types[f"__off_{c}"]
         out = out.withColumn(
             prefix + c,
-            F.sum(c).over(local)
-            + F.coalesce(F.col(f"__off_{c}"), F.lit(0).cast(dt)),
+            # the + may widen decimals one more digit; cast back to the
+            # sum type (lossless — a prefix sum is bounded by the total)
+            (
+                F.sum(c).over(local)
+                + F.coalesce(F.col(f"__off_{c}"), F.lit(0).cast(dt))
+            ).cast(dt),
         )
     return out.drop("__pid", *[f"__off_{c}" for c in value_cols])
 

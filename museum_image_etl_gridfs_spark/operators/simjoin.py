@@ -82,7 +82,15 @@ def prefix_filter_jaccard_join(
         .agg(F.sort_array(F.collect_list(F.struct("rnk", "tok"))).alias("ord"))
         .withColumn(
             "plen",
-            F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1,
+            # ceil over a DOWN-nudged product: binary t·n can land an
+            # ulp ABOVE the exact rational (e.g. 0.14*50 →
+            # 7.000000000000001, ceil 8), which would SHORTEN the
+            # prefix and silently drop qualifying pairs. Undershooting
+            # only lengthens the prefix (more candidates, still
+            # exact), so the nudge is always safe.
+            F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+            + 1,
         )
         .withColumn("prefix", F.expr("slice(ord.rnk, 1, plen)"))
     )

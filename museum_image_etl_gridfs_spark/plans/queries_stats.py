@@ -386,7 +386,7 @@ _PMI_TOP_K = 100
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocation mining: the top bigrams by pointwise mutual
     information, PMI = ln(p(xy) / (p(x)·p(y))), restricted to pairs
-    seen ≥ {_PMI_MIN_PAIR} times.
+    seen at least ``_PMI_MIN_PAIR`` (5) times.
 
     PMI is computed as one double expression over exact integer
     counts in the SAME operation order on both engines (divide
@@ -394,7 +394,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     then rounded; the LIMIT pins a (pmi DESC, bigram) total order.
 
     Scale shape: unigram and bigram counts are map-side-combined
-    groupBys; the surviving (≥ {_PMI_MIN_PAIR}) bigram table is far
+    groupBys; the surviving (count-thresholded) bigram table is far
     smaller than the corpus and joins the unigram vocabulary on the
     split word — broadcast at this SF, shuffle-joinable at corpus
     scale; the two 1-row totals are broadcast.
@@ -473,7 +473,7 @@ _MATRYOSHKA_DIMS = 8
 def matryoshka_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation quality per label: the average fraction
     of each embedding's L2 energy retained by its first
-    {_MATRYOSHKA_DIMS} dimensions (≡ cosine similarity between the
+    8 dimensions (≡ cosine similarity between the
     full vector and its zero-padded prefix).
 
     Determinism: both engines fold the squared terms LEFT-TO-RIGHT in
@@ -635,7 +635,15 @@ def near_dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("ts"),
-    ).withColumn("fp", F.md5(F.concat_ws("\x1f", F.col("ts"))))
+    ).withColumn(
+        # to_json is an INJECTIVE encoding of the token array (escapes
+        # any separator-like bytes inside tokens); a concat_ws join
+        # would conflate ["a\x1fb"] with ["a","b"]. The fingerprint is
+        # Spark-internal only — the oracle computes true pairwise
+        # Jaccard — so no DuckDB mirror is needed.
+        "fp",
+        F.md5(F.to_json(F.col("ts"))),
+    )
     groups = toks.groupBy("source", "fp").agg(
         F.min("doc_id").alias("rep_id"),
         F.min_by("ts", "doc_id").alias("ts"),
@@ -1007,18 +1015,14 @@ def pairwise_price_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(f"s_{x}_{y}")
             )
     s = li.agg(*aggs)
-    rows = [
-        s.select(
-            F.lit(x).alias("var_x"),
-            F.lit(y).alias("var_y"),
-            F.expr(_sql_corr_expr(x, y)).alias("corr"),
-        )
-        for x, y in _corr_pairs()
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # ONE stack over the single aggregate row — a 6-way union of
+    # selects would rely on exchange reuse to avoid 6 fact scans
+    stack_args = ", ".join(
+        f"'{x}', '{y}', {_sql_corr_expr(x, y)}" for x, y in _corr_pairs()
+    )
+    return s.selectExpr(
+        f"stack({len(_corr_pairs())}, {stack_args}) AS (var_x, var_y, corr)"
+    )
 
 
 _GBA_SQL = """

@@ -86,3 +86,21 @@ def test_jaccard_values_are_exact_ratios(spark):
 def test_empty_and_singleton_sets(spark):
     rows = [(1, set(), 0), (2, set(), 0), (3, {"q"}, 0), (4, {"q"}, 0)]
     assert _run(spark, rows, 0.5) == {(3, 4)}
+
+
+@pytest.mark.parametrize("t,n", [(0.14, 50), (0.07, 100), (0.28, 25)])
+def test_float_ceil_overshoot_thresholds(spark, t, n):
+    """Binary t*n can land an ulp above the exact rational (0.14*50 ->
+    7.000000000000001); a naive ceil shortens the prefix and DROPS
+    qualifying pairs. Pin the exact-boundary case: y = the subset of
+    x whose jaccard is exactly the threshold."""
+    k = round(t * n)  # |y| such that k/n == t exactly in the rational
+    x = {f"w{i}" for i in range(n)}
+    # make y the globally most frequent tokens (they sort LAST in the
+    # rarest-first prefix order -> worst case for a short prefix)
+    rows = [(1, x, 0), (2, {f"w{i}" for i in range(k)}, 0)]
+    for j in range(3, 40):  # boost df of y's tokens
+        rows.append((j, {f"w{j % k}"}, 1))
+    got = _run(spark, rows, t)
+    assert (1, 2) in _brute(rows, t), "sanity: pair qualifies exactly"
+    assert got == _brute(rows, t)
