@@ -149,12 +149,14 @@ _SENTINELS = (
 
 
 #: never-verified queries deliberately sorted to the BACK of the
-#: unverified band (NINE deferred): the round-3 additions outnumber
-#: the driver's 50-row budget, so when something must overflow the
-#: prefix, prefer deferring simple pure-Catalyst SQL shapes (lowest
-#: novel-code risk; all locally oracle-green at three SFs) over
-#: novel-operator queries (sketches, skyline, UDAF/UDTF, sinks,
-#: custom sources).
+#: unverified band: the round-3 additions outnumber the driver's
+#: 50-row budget, so when something must overflow the prefix, prefer
+#: deferring simple pure-Catalyst SQL shapes (lowest novel-code risk;
+#: all locally oracle-green at three SFs) over novel-operator queries
+#: (sketches, skyline, prefix-sum/order-statistics machinery, graph
+#: components, simjoin, recursive CTE, UDAF/UDTF, sinks, custom
+#: sources). With this set deferred, every non-deferred band-0 query
+#: fits the 50-row budget.
 _BAND0_LAST = frozenset(
     {
         "big_spender_segments_intersect",
@@ -167,6 +169,33 @@ _BAND0_LAST = frozenset(
         "ab_conversion_lift",
         "table_checksums",
         "orc_sink_roundtrip",
+        # session 2/3 simple relational shapes (plain agg/window SQL):
+        "fk_integrity_audit",
+        "lang_confusion_matrix",
+        "hourly_anomaly_hours",
+        "dow_hour_profile",
+        "priority_ship_lead_times",
+        "brand_cooccurrence",
+        "frequent_bigrams",
+        "unigram_entropy",
+        "length_outliers_by_lang",
+        "customer_ltv_deciles",  # same ntile machinery as the
+        # prefix-checked price_deciles
+        "event_funnel",
+        "weekly_retention",
+        "event_transitions",
+        "grouping_sets_revenue",
+        # session 4 simple relational shapes (the novel-machinery
+        # session-4 queries — gini/ks prefix-sums, components, simjoin,
+        # recursive CTE, negative sampling, correlations — stay in):
+        "order_streak_islands",
+        "mad_outlier_quantities",
+        "trimmed_mean_prices",
+        "unpivot_returnflag_metrics",
+        "group_by_all_revenue",
+        "order_share_of_customer",
+        "psi_price_drift",
+        "hhi_supplier_concentration",
     }
 )
 
