@@ -1317,3 +1317,146 @@ def prefix_join_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         block_col="source",
     )
+
+
+@query(
+    "brand_triangle_stats",
+    oracle="""
+    WITH bp AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    edges AS (
+        SELECT DISTINCT a.p_brand AS b1, b.p_brand AS b2
+        FROM bp a JOIN bp b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand),
+    deg AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT b1 AS brand FROM edges
+              UNION ALL SELECT b2 FROM edges) u
+        GROUP BY brand),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS t
+        FROM edges e1
+        JOIN edges e2 ON e2.b1 = e1.b1 AND e2.b2 > e1.b2
+        JOIN edges e3 ON e3.b1 = e1.b2 AND e3.b2 = e2.b2)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           (SELECT t FROM tri) AS n_triangles,
+           round(CAST(3 * (SELECT t FROM tri) AS DOUBLE)
+                 / CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS DOUBLE),
+                 8) AS transitivity
+    """,
+    tags=("graph", "triangles", "stats"),
+)
+def brand_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the brand co-purchase graph: node/edge
+    counts, exact triangle count (ordered 3-cycle join), and global
+    transitivity 3·T / Σ d(d−1)/2 — the standard graph-density audit
+    over a co-occurrence graph.
+
+    All counts are exact integers; transitivity is one shared double
+    division.
+
+    Scale shape: the fact compresses to a distinct (order, brand)
+    projection, then to a distinct bounded edge list (≤ brands²); the
+    ordered triangle join b1<b2<b3 runs on that tiny edge table
+    (broadcast). At web-graph scale the same ordered-join shape is
+    the standard distributed triangle algorithm — each edge joins
+    only HIGHER-ordered neighbors, bounding fan-out by out-degree in
+    the degree-ordered orientation.
+    """
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    bp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
+    b = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("b1") < F.col("b2"))
+        .select("b1", "b2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("b1").alias("brand"))
+        .unionByName(edges.select(F.col("b2").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = edges.select(F.col("b1").alias("x"), F.col("b2").alias("y"))
+    e2 = edges.select(F.col("b1").alias("x2"), F.col("b2").alias("z"))
+    e3 = edges.select(F.col("b1").alias("y3"), F.col("b2").alias("z3"))
+    tri = (
+        e1.join(e2, (F.col("x2") == F.col("x")) & (F.col("z") > F.col("y")))
+        .join(e3, (F.col("y3") == F.col("y")) & (F.col("z3") == F.col("z")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    triads = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("tr")
+    )
+    return (
+        nn.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(triads))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.round(
+                (3 * F.col("t")).cast("double") / F.col("tr").cast("double"), 8
+            ).alias("transitivity"),
+        )
+    )
+
+
+@query(
+    "user_event_type_map",
+    oracle="""
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS views,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS clicks,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchases
+    FROM events GROUP BY user_id
+    """,
+    tags=("sql-surface", "map-type", "events"),
+)
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface (§2.8): per-user event-type counts are
+    materialized as a genuine ``map<string,bigint>`` column
+    (``map_from_entries`` over collected structs), then consumed with
+    map functions — ``map_keys``/``size`` for the distinct-type count
+    and ``element_at`` lookups — before flattening to plain columns
+    the oracle can check.
+
+    Scale shape: one user_id-keyed two-level aggregate (map-side
+    partials on (user, type) first, so no collect_list ever sees more
+    than the 5-type fan-in per user); the map stays JVM-side.
+    """
+    ev = load(spark, "events", sf_dir).select("user_id", "event_type")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("view")), F.lit(0)).alias("views"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias(
+            "purchases"
+        ),
+    )
