@@ -565,6 +565,22 @@ def priority_ship_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_orderkey, p_brand) projection — the shared edge
+    source for every brand co-occurrence graph query
+    (``brand_cooccurrence``, ``brand_triangle_stats``,
+    ``recursive_brand_reach``): brands arrive via a BROADCAST part
+    join (no lineitem shuffle) and the distinct collapses the fact
+    with map-side combine."""
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+
+
 @query(
     "brand_cooccurrence",
     oracle="""
@@ -592,13 +608,7 @@ def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog size. The brand<brand guard halves the pairs and makes
     the matrix triangular/deterministic.
     """
-    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    ob = order_brand_pairs(spark, sf_dir)
     a = ob.alias("a")
     b = ob.alias("b")
     return (

@@ -386,7 +386,7 @@ _PMI_TOP_K = 100
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocation mining: the top bigrams by pointwise mutual
     information, PMI = ln(p(xy) / (p(x)·p(y))), restricted to pairs
-    seen at least ``_PMI_MIN_PAIR`` (5) times.
+    seen at least ``_PMI_MIN_PAIR`` times.
 
     PMI is computed as one double expression over exact integer
     counts in the SAME operation order on both engines (divide
@@ -1110,13 +1110,9 @@ def recursive_brand_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/components.py for the unbounded-vertex-count variant —
     recursion depth there is graph diameter, not a literal hop cap.)
     """
-    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
-    bp = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    from .queries_olap import order_brand_pairs
+
+    bp = order_brand_pairs(spark, sf_dir)
     a = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
     b = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
     edges = (
@@ -1127,9 +1123,9 @@ def recursive_brand_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     edges.createOrReplaceTempView("stats_reach_edges")
-    part.agg(F.min("p_brand").alias("b")).createOrReplaceTempView(
-        "stats_reach_seed"
-    )
+    load(spark, "part", sf_dir).agg(
+        F.min("p_brand").alias("b")
+    ).createOrReplaceTempView("stats_reach_seed")
     return spark.sql(
         _REACH_RECURSION.format(seed="stats_reach_seed", edges="stats_reach_edges")
     )
@@ -1342,9 +1338,11 @@ def prefix_join_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
            CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
            (SELECT t FROM tri) AS n_triangles,
-           round(CAST(3 * (SELECT t FROM tri) AS DOUBLE)
-                 / CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS DOUBLE),
-                 8) AS transitivity
+           CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) = 0 THEN NULL
+                ELSE round(CAST(3 * (SELECT t FROM tri) AS DOUBLE)
+                           / CAST((SELECT SUM(d * (d - 1) / 2) FROM deg)
+                                  AS DOUBLE), 8)
+           END AS transitivity
     """,
     tags=("graph", "triangles", "stats"),
 )
@@ -1360,18 +1358,16 @@ def brand_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact compresses to a distinct (order, brand)
     projection, then to a distinct bounded edge list (≤ brands²); the
     ordered triangle join b1<b2<b3 runs on that tiny edge table
-    (broadcast). At web-graph scale the same ordered-join shape is
-    the standard distributed triangle algorithm — each edge joins
-    only HIGHER-ordered neighbors, bounding fan-out by out-degree in
-    the degree-ordered orientation.
+    (broadcast). The orientation here is VALUE order (each edge joins
+    only higher-valued neighbors — halves the pair space and makes
+    the count deterministic); at web-graph scale the production
+    refinement is to orient by DEGREE instead, which bounds every
+    node's out-fan and gives the classic m^(3/2) work bound — same
+    join shape, different ordering key.
     """
-    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
-    bp = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    from .queries_olap import order_brand_pairs
+
+    bp = order_brand_pairs(spark, sf_dir)
     a = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
     b = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
     edges = (
@@ -1408,8 +1404,15 @@ def brand_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "n_edges",
             F.col("t").alias("n_triangles"),
-            F.round(
-                (3 * F.col("t")).cast("double") / F.col("tr").cast("double"), 8
+            # NULL (not NaN) on a zero triad count: Spark 0.0/0.0 is
+            # NaN where DuckDB division yields NULL — guard both sides
+            F.when(
+                F.col("tr") > 0,
+                F.round(
+                    (3 * F.col("t")).cast("double")
+                    / F.col("tr").cast("double"),
+                    8,
+                ),
             ).alias("transitivity"),
         )
     )
