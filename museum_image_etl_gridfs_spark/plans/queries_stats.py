@@ -1463,3 +1463,180 @@ def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchases"
         ),
     )
+
+
+@query(
+    "event_pattern_matches",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(CASE WHEN regexp_matches(seq, 'v[^p]*c[^p]*p')
+                THEN 1 ELSE 0 END AS INTEGER) AS matched
+    FROM s
+    """,
+    tags=("events", "cep", "sequence-pattern"),
+)
+def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing-lite: regex over each user's ordered
+    event-initial string — here "a view, then a click with no
+    intervening purchase, then a purchase" as ``v[^p]*c[^p]*p`` (the
+    MATCH_RECOGNIZE-class pattern a funnel can't express, because the
+    NEGATION [^p]* constrains what happens BETWEEN steps).
+
+    The per-user sequence is deterministic — events sort by
+    (ts, event_id) inside ``sort_array`` — and the pattern class used
+    (literals + negated character classes) behaves identically in
+    Java regex and RE2.
+
+    Scale shape: one user-keyed aggregate; each user's string is
+    bounded by their event count, built JVM-side from the sorted
+    collect_list, and the regex evaluates in the same stage — no
+    second shuffle, no Python.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                lambda x: x["ini"],
+            ),
+            "",
+        ).alias("seq"),
+    )
+    return s.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("seq").rlike("v[^p]*c[^p]*p"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("matched"),
+    )
+
+
+#: 1-in-20 order clusters (~5%) kept whole in the sample
+_CLUSTER_SAMPLE_BUCKETS = 20
+
+
+def _cluster_sample_oracle() -> str:
+    from ..functions.keys import portable_bucket_sql
+
+    bucket = portable_bucket_sql("o_orderkey", _CLUSTER_SAMPLE_BUCKETS)
+    return f"""
+    WITH s AS (
+        SELECT o_orderkey FROM orders WHERE {bucket} = 0)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN s ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """
+
+
+@query(
+    "order_cluster_sample",
+    oracle=_cluster_sample_oracle(),
+    tags=("sampling", "cluster-sample", "traindata"),
+)
+def order_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster (hierarchical) sampling: a deterministic ~5% of ORDERS
+    is drawn by portable key hash and every line item of a sampled
+    order is kept WHOLE — the correct way to sample parent/child data
+    (row-level sampling would shred order baskets and bias any
+    per-order statistic).
+
+    Scale shape: the sampled key set is a filter on the order
+    dimension (hash is a pure function — no shuffle to decide
+    membership); the fact joins it on its own key partitioning, and
+    at 100 TB Catalyst can turn the tiny sampled side into a
+    broadcast semi-join / runtime bloom filter so unsampled fact
+    partitions are skipped early.
+    """
+    from ..functions.keys import portable_bucket
+
+    sampled = (
+        load(spark, "orders", sf_dir)
+        .select("o_orderkey")
+        .filter(portable_bucket("o_orderkey", _CLUSTER_SAMPLE_BUCKETS) == 0)
+    )
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    return (
+        li.join(F.broadcast(sampled), li.l_orderkey == sampled.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE l_linenumber = 1) AS BIGINT)
+               AS n_missing_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_linenumber = 2) AS DOUBLE) AS sum_price
+    FROM lineitem WHERE l_linenumber IN (1, 2)
+    """,
+    tags=("sql-surface", "schema-evolution", "sink"),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (§2.1): two parquet generations are
+    written with DIFFERENT schemas — the old one lacks the price
+    column — and read back as ONE table via ``mergeSchema``, the
+    lakehouse append-only evolution path; rows from the old
+    generation surface NULL for the added column.
+
+    The oracle recomputes the same union from the source fact, so the
+    hash check proves the merged read is lossless (row counts, the
+    NULL accounting for the missing column, and both DECIMAL sums).
+
+    Scale shape: each generation is a plain columnar write; the
+    merged scan unions footers and prunes columns per file — schema
+    reconciliation is metadata-only, no data rewrite.
+    """
+    from .queries_analytics import _scratch_dir
+
+    out = _scratch_dir("spark_graft_schema_evo", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    old_gen = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    new_gen = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    old_gen.write.mode("overwrite").parquet(f"{out}/gen=0")
+    new_gen.write.mode("overwrite").parquet(f"{out}/gen=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=0", f"{out}/gen=1"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_extendedprice").isNull(), 1)).alias(
+            "n_missing_price"
+        ),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
