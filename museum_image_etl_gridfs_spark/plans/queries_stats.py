@@ -1,22 +1,31 @@
 """Distributional-statistics & data-audit wave (round 3, session 4).
 
-Inequality/divergence measures and robust-statistics audits a
+Statistics, graph, sampling, and engine-surface queries a
 training-data or analytics team runs over a corpus/fact table, each
 with an exact DuckDB oracle:
 
-- ``gini_customer_spend`` — revenue-concentration Gini via the
-  distributed global-rank machinery (no single-task sort);
-- ``ks_returned_price`` — two-sample Kolmogorov–Smirnov distance via
-  the distributed prefix-sum operator (``running_totals``);
-- ``order_streak_islands`` — gaps-and-islands consecutive-activity
-  streaks (per-key window, fully partitioned);
-- ``mad_outlier_quantities`` — median/MAD robust outlier audit;
-- ``pmi_collocations`` — corpus collocation mining by pointwise
-  mutual information;
-- ``matryoshka_energy_profile`` — leading-dimension energy retention
-  of embeddings (Matryoshka truncation quality);
-- ``unpivot_returnflag_metrics`` — the native UNPIVOT surface
-  (Spark ``DataFrame.unpivot`` ≡ DuckDB ``UNPIVOT``).
+- inequality / divergence / robust stats: ``gini_customer_spend``
+  (distributed global rank), ``ks_returned_price`` (distributed
+  prefix-sum CDFs), ``psi_price_drift``,
+  ``hhi_supplier_concentration``, ``mad_outlier_quantities``,
+  ``trimmed_mean_prices``, ``pairwise_price_correlations`` (one-pass
+  integer sufficient statistics), ``order_streak_islands``
+  (gaps-and-islands);
+- text / embeddings: ``pmi_collocations``,
+  ``matryoshka_energy_profile``;
+- graph / dedup: ``near_dup_components_exact`` (exact-dedup-first
+  components, recursive-CTE oracle), ``prefix_join_near_dups``
+  (AllPairs/PPJoin prefix-filter simjoin), ``brand_triangle_stats``
+  (exact triangle census + transitivity);
+- training-data sampling: ``negative_sampling_pairs`` (deterministic
+  hash draws), ``order_cluster_sample`` (hierarchical sampling);
+- event sequences: ``event_pattern_matches`` (CEP-lite regex over
+  ordered event strings);
+- engine surfaces: ``order_share_of_customer`` (correlated scalar
+  subquery), ``unpivot_returnflag_metrics`` (UNPIVOT),
+  ``group_by_all_revenue`` (GROUP BY ALL), ``recursive_brand_reach``
+  (Spark 4 WITH RECURSIVE), ``user_event_type_map`` (map<k,v>
+  functions), ``schema_evolution_merge`` (mergeSchema read).
 
 The reference (a 501-LoC row-at-a-time pymongo ETL,
 /root/reference/src/transform_load.py) has no aggregate surface at
