@@ -88,3 +88,60 @@ def canonical_per_cluster(components: DataFrame) -> DataFrame:
         F.min("vertex").alias("canonical_vertex"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
+
+
+def triangle_census(
+    edges: DataFrame, src: str = "b1", dst: str = "b2"
+) -> DataFrame:
+    """One-row graph census over an UNDIRECTED edge list given in
+    canonical ``src < dst`` orientation: node count, edge count,
+    exact triangle count (value-ordered 3-cycle join — each edge
+    joins only higher-valued neighbors, halving the pair space and
+    making the count deterministic; orienting by DEGREE instead is
+    the web-scale refinement that bounds per-node fan-out), and
+    global transitivity 3·T / Σ d(d−1)/2, NULL when the graph has no
+    open or closed triads (matching SQL NULL division, not NaN).
+
+    Callers should pass a checkpointed/cached edge list — the census
+    reads it from four branches (degrees, triangles, counts).
+    """
+    e = edges.select(F.col(src).alias("b1"), F.col(dst).alias("b2"))
+    deg = (
+        e.select(F.col("b1").alias("vx"))
+        .unionByName(e.select(F.col("b2").alias("vx")))
+        .groupBy("vx")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = e.select(F.col("b1").alias("x"), F.col("b2").alias("y"))
+    e2 = e.select(F.col("b1").alias("x2"), F.col("b2").alias("z"))
+    e3 = e.select(F.col("b1").alias("y3"), F.col("b2").alias("z3"))
+    tri = (
+        e1.join(e2, (F.col("x2") == F.col("x")) & (F.col("z") > F.col("y")))
+        .join(e3, (F.col("y3") == F.col("y")) & (F.col("z3") == F.col("z")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    triads = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("tr")
+    )
+    return (
+        nn.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(triads))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            # NULL (not NaN) on a zero triad count: Spark 0.0/0.0 is
+            # NaN where SQL division yields NULL
+            F.when(
+                F.col("tr") > 0,
+                F.round(
+                    (3 * F.col("t")).cast("double")
+                    / F.col("tr").cast("double"),
+                    8,
+                ),
+            ).alias("transitivity"),
+        )
+    )

@@ -569,15 +569,41 @@ def order_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (l_orderkey, p_brand) projection — the shared edge
     source for every brand co-occurrence graph query
     (``brand_cooccurrence``, ``brand_triangle_stats``,
-    ``recursive_brand_reach``): brands arrive via a BROADCAST part
-    join (no lineitem shuffle) and the distinct collapses the fact
-    with map-side combine."""
+    ``recursive_brand_reach``). The part join is left to the planner:
+    at fixture scale AQE broadcasts it anyway, while a hard-coded
+    hint would force an oversized broadcast once the part dimension
+    grows with SF. The distinct collapses the fact with map-side
+    combine."""
     li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .select("l_orderkey", "p_brand")
         .distinct()
+    )
+
+
+def brand_edges(
+    spark: SparkSession, sf_dir: str, *, directed: bool
+) -> DataFrame:
+    """Checkpoint-materialized brand co-purchase edge list over
+    :func:`order_brand_pairs` — ``directed=True`` emits both
+    orientations (b1 ≠ b2, for traversals), ``directed=False`` the
+    canonical b1 < b2 half (for undirected censuses). Checkpointed
+    because every consumer reads it repeatedly (recursion steps,
+    degree/triangle/count branches)."""
+    bp = order_brand_pairs(spark, sf_dir)
+    a = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
+    b = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
+    cond = (
+        F.col("b1") != F.col("b2") if directed else F.col("b1") < F.col("b2")
+    )
+    return (
+        a.join(b, "k")
+        .filter(cond)
+        .select("b1", "b2")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
 
 

@@ -1119,19 +1119,11 @@ def recursive_brand_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/components.py for the unbounded-vertex-count variant —
     recursion depth there is graph diameter, not a literal hop cap.)
     """
-    from .queries_olap import order_brand_pairs
+    from .queries_olap import brand_edges
 
-    bp = order_brand_pairs(spark, sf_dir)
-    a = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
-    b = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("b1") != F.col("b2"))
-        .select("b1", "b2")
-        .distinct()
-        .localCheckpoint(eager=False)
+    brand_edges(spark, sf_dir, directed=True).createOrReplaceTempView(
+        "stats_reach_edges"
     )
-    edges.createOrReplaceTempView("stats_reach_edges")
     load(spark, "part", sf_dir).agg(
         F.min("p_brand").alias("b")
     ).createOrReplaceTempView("stats_reach_seed")
@@ -1374,57 +1366,10 @@ def brand_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     node's out-fan and gives the classic m^(3/2) work bound — same
     join shape, different ordering key.
     """
-    from .queries_olap import order_brand_pairs
+    from ..operators.components import triangle_census
+    from .queries_olap import brand_edges
 
-    bp = order_brand_pairs(spark, sf_dir)
-    a = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
-    b = bp.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("b1") < F.col("b2"))
-        .select("b1", "b2")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        edges.select(F.col("b1").alias("brand"))
-        .unionByName(edges.select(F.col("b2").alias("brand")))
-        .groupBy("brand")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    e1 = edges.select(F.col("b1").alias("x"), F.col("b2").alias("y"))
-    e2 = edges.select(F.col("b1").alias("x2"), F.col("b2").alias("z"))
-    e3 = edges.select(F.col("b1").alias("y3"), F.col("b2").alias("z3"))
-    tri = (
-        e1.join(e2, (F.col("x2") == F.col("x")) & (F.col("z") > F.col("y")))
-        .join(e3, (F.col("y3") == F.col("y")) & (F.col("z3") == F.col("z")))
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    triads = deg.agg(
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("tr")
-    )
-    return (
-        nn.crossJoin(F.broadcast(ne))
-        .crossJoin(F.broadcast(tri))
-        .crossJoin(F.broadcast(triads))
-        .select(
-            "n_nodes",
-            "n_edges",
-            F.col("t").alias("n_triangles"),
-            # NULL (not NaN) on a zero triad count: Spark 0.0/0.0 is
-            # NaN where DuckDB division yields NULL — guard both sides
-            F.when(
-                F.col("tr") > 0,
-                F.round(
-                    (3 * F.col("t")).cast("double")
-                    / F.col("tr").cast("double"),
-                    8,
-                ),
-            ).alias("transitivity"),
-        )
-    )
+    return triangle_census(brand_edges(spark, sf_dir, directed=False))
 
 
 @query(
@@ -1564,25 +1509,22 @@ def order_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row-level sampling would shred order baskets and bias any
     per-order statistic).
 
-    Scale shape: the sampled key set is a filter on the order
-    dimension (hash is a pure function — no shuffle to decide
-    membership); the fact joins it on its own key partitioning, and
-    at 100 TB Catalyst can turn the tiny sampled side into a
-    broadcast semi-join / runtime bloom filter so unsampled fact
-    partitions are skipped early.
+    Scale shape: cluster membership is a PURE FUNCTION of the
+    parent key, so the fact side needs NO join at all — the same
+    hash evaluated on ``l_orderkey`` selects exactly the sampled
+    orders' line items (the oracle keeps the join form, proving the
+    equivalence). One codegen'd filter + map-side-combined aggregate;
+    the sample fraction costs nothing to decide at any scale. (A
+    join-based form would broadcast a key set that GROWS with the
+    table — the anti-pattern this query exists to avoid.)
     """
     from ..functions.keys import portable_bucket
 
-    sampled = (
-        load(spark, "orders", sf_dir)
-        .select("o_orderkey")
-        .filter(portable_bucket("o_orderkey", _CLUSTER_SAMPLE_BUCKETS) == 0)
-    )
     li = load(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
     return (
-        li.join(F.broadcast(sampled), li.l_orderkey == sampled.o_orderkey)
+        li.filter(portable_bucket("l_orderkey", _CLUSTER_SAMPLE_BUCKETS) == 0)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

@@ -48,3 +48,44 @@ def test_nonconvergence_guard(spark):
         connected_components(
             _edges(spark, [(i, i + 1) for i in range(8)]), max_iterations=1
         )
+
+
+# ---- triangle_census (non-complete graphs the fixture never has) ----
+
+
+def _census(spark, edges):
+    from museum_image_etl_gridfs_spark.operators.components import (
+        triangle_census,
+    )
+
+    df = spark.createDataFrame(edges, "b1 string, b2 string")
+    return triangle_census(df).collect()[0]
+
+
+def test_triangle_census_path_graph(spark):
+    # a-b-c-d: 0 triangles, 2 open triads -> transitivity 0.0
+    r = _census(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 3, 0)
+    assert r["transitivity"] == 0.0
+
+
+def test_triangle_census_perfect_matching_null_not_nan(spark):
+    # two disjoint edges: every degree is 1 -> zero triads -> NULL
+    # (the Spark 0.0/0.0 NaN vs SQL NULL divergence guard)
+    r = _census(spark, [("a", "b"), ("c", "d")])
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 2, 0)
+    assert r["transitivity"] is None
+
+
+def test_triangle_census_triangle_with_tail(spark):
+    # triangle a-b-c plus pendant c-d: T=1, triads = 1+1+3+0 = 5
+    r = _census(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")])
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 1)
+    assert r["transitivity"] == 0.6  # 3*1/5
+
+
+def test_triangle_census_complete_k4(spark):
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    r = _census(spark, edges)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["transitivity"] == 1.0
