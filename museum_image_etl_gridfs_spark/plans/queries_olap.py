@@ -626,8 +626,9 @@ def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same order — the association-mining primitive behind
     recommendations ("customers who bought X's brand also bought...").
 
-    Scale shape: brands arrive via a BROADCAST part join (no shuffle
-    of lineitem), the per-order distinct collapses the fact to
+    Scale shape: brands arrive via a planner-chosen part join (AQE
+    broadcasts the small dim at fixture scale; no lineitem shuffle),
+    the per-order distinct collapses the fact to
     (order, brand) pairs with map-side combine, and the pair fan-out
     is a self-join on the orderkey partitioning — per-order cost is
     (brands-per-order choose 2), bounded by basket width, never by
