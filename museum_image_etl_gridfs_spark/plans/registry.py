@@ -131,7 +131,37 @@ _VERIFIED_R02 = frozenset(
     }
 )
 
-_VERIFIED = _VERIFIED_R01 | _VERIFIED_R02
+#: queries with a green driver CORRECTNESS row in round 3 (again a
+#: disjoint 50-query prefix; 0 failures, 4 ``no_oracle`` rows-only).
+_VERIFIED_R03 = frozenset(
+    {
+        "applyinpandas_gap_stats", "approx_distinct_parts",
+        "benford_price_digits", "binary_fetch_pipeline",
+        "brand_affinity_cosine", "brand_pagerank", "brand_triangle_stats",
+        "corpus_curation_pipeline", "decayed_user_value",
+        "embedding_quantization", "gapfilled_hourly_counts",
+        "gini_customer_spend", "heavy_hitter_tokens",
+        "http_ingest_pipeline", "incremental_rollup_merge",
+        "inverted_index", "ivm_join_delta", "json_quarantine_stats",
+        "kmeans_cluster_profile", "ks_returned_price",
+        "matryoshka_energy_profile", "near_dup_components_exact",
+        "negative_sampling_pairs", "ols_price_trend",
+        "pairwise_price_correlations", "pareto_frontier_parts",
+        "partitioned_sink_roundtrip", "pca_projection",
+        "peak_concurrency", "pit_customer_versions", "pmi_collocations",
+        "prefix_join_near_dups", "price_deciles",
+        "python_datasource_scan", "recursive_brand_reach",
+        "segment_priority_chisq", "semantic_dedup_keep",
+        "session_top_paths", "snapshot_diff", "stream_enriched_segments",
+        "stream_event_funnel", "stream_hourly_ohlc",
+        "stream_merge_sink_roundtrip", "stream_unconverted_clicks",
+        "trailing_24h_user_value", "udaf_quantity_stats",
+        "udtf_bigram_counts", "unigram_lm_scores", "user_event_type_map",
+        "weighted_sample_topk",
+    }
+)
+
+_VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03
 
 #: prior-round greens deliberately re-pinned in the verified prefix as
 #: regression sentinels — one per fixture-sensitive table family
@@ -200,20 +230,41 @@ _BAND0_LAST = frozenset(
 )
 
 
+#: stale round-1-only greens explicitly re-pinned into the round-4
+#: prefix: the five oracle-less (rows-only) dedup/ANN queries whose
+#: driver rows date to round 1, plus the six batch/streaming events
+#: queries — the family that regressed silently in round 2 — none of
+#: which has had a driver row since round 1. Sized so that
+#: 5 sentinels + 34 never-verified + these 11 = exactly the driver's
+#: 50-row budget (round 4 adds no new queries by design).
+_STALE_RECHECK = frozenset(
+    {
+        "minhash_near_dups", "simhash_fingerprints", "near_dup_clusters",
+        "lsh_bucketed_ann", "ivf_topk_ann",
+        "events_tumbling_1h", "events_sliding_1h_30m",
+        "stream_user_totals", "stream_expired_sessions",
+        "events_dedup_rerun", "stream_attribution_pairs",
+    }
+)
+
+
 def _priority(q: Query) -> tuple[int, int]:
     """Sort key placing driver-unverified queries in the checked prefix.
 
-    0: never driver-verified in any round (r1 ∪ r2) — within the band,
-       ``_BAND0_LAST`` members sort after the rest
-    1: sentinel re-checks — one per fixture-sensitive family
-    2: r1 rows-only checks never re-run (golden files also cover these)
-    3: already verified in round 1 or 2
+    0: sentinels — one per fixture-sensitive family. FIRST so new-query
+       waves can never crowd them out of the driver's budget again
+       (round 3's 81 additions crowded out ``user_sessions`` /
+       ``stream_tumbling_1h`` when sentinels ranked below band 0).
+    1: never driver-verified in any round (r1 ∪ r2 ∪ r3) — within the
+       band, ``_BAND0_LAST`` members sort after the rest
+    2: stale round-1-only re-checks (``_STALE_RECHECK``)
+    3: already driver-verified and not stale
     """
-    if q.name not in _VERIFIED:
-        return (0, 1 if q.name in _BAND0_LAST else 0)
     if q.name in _SENTINELS:
-        return (1, 0)
-    if q.oracle is None and q.name not in _VERIFIED_R02:
+        return (0, 0)
+    if q.name not in _VERIFIED:
+        return (1, 1 if q.name in _BAND0_LAST else 0)
+    if q.name in _STALE_RECHECK:
         return (2, 0)
     return (3, 0)
 
