@@ -178,8 +178,8 @@ def _minhash_band_rows(
 
     def fn(batches):
         for pdf in batches:
-            ids, sigs, band_ids, band_hashes = [], [], [], []
-            for doc_id, text in zip(pdf["id"], pdf["text"]):
+            ids, fps, sigs, band_ids, band_hashes = [], [], [], [], []
+            for doc_id, fp, text in zip(pdf["id"], pdf["fp"], pdf["text"]):
                 toks = (text or "").lower().split()
                 if len(toks) < k:
                     sh = {" ".join(toks)}
@@ -195,17 +195,24 @@ def _minhash_band_rows(
                 sig_list = sig.tolist()
                 for band in range(bands):
                     ids.append(doc_id)
+                    fps.append(fp)
                     sigs.append(sig_list)
                     band_ids.append(band)
                     band_hashes.append(
                         zlib.crc32(sig[band * rpb : (band + 1) * rpb].tobytes())
                     )
             yield pd.DataFrame(
-                {"id": ids, "sig": sigs, "band": band_ids, "band_hash": band_hashes}
+                {
+                    "id": ids,
+                    "fp": fps,
+                    "sig": sigs,
+                    "band": band_ids,
+                    "band_hash": band_hashes,
+                }
             )
 
     schema = (
-        f"id {id_field.dataType.simpleString()}, sig array<long>, "
+        f"id {id_field.dataType.simpleString()}, fp long, sig array<long>, "
         "band int, band_hash long"
     )
     return fn, schema
@@ -222,18 +229,49 @@ def minhash_near_duplicates(
     seed: int = 42,
     min_jaccard: float = 0.5,
     num_partitions: int | None = None,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     Pipeline: shingle -> signature -> band hashes (one Arrow-batched
-    mapInPandas stage, see :func:`_minhash_band_rows`) -> groupBy the
-    band bucket -> bucket-local pair generation -> Jaccard estimate
-    from full signatures -> filter. Returns (id_a, id_b, jaccard_est)
-    with id_a < id_b.
+    mapInPandas stage, see :func:`_minhash_band_rows`) -> repartition
+    on the band bucket -> bucket-local pair generation -> Jaccard
+    estimate from full signatures -> filter. Returns
+    (id_a, id_b, jaccard_est) with id_a < id_b.
 
-    Scale: the only shuffles are an up-front spread of the input and
-    the bucket groupBy; candidate pairs are band-local so cost tracks
-    true-duplicate density, not n^2.
+    Two guards make the bucket stage safe on real web corpora, where
+    a boilerplate-heavy cluster can put millions of documents into
+    ONE (band, band_hash) bucket:
+
+    - **Exact-duplicate collapse.** Identical texts have identical
+      signatures, so they share EVERY band bucket — the worst-case
+      bucket is usually an exact-dup cluster. Each bucket keeps one
+      representative per text fingerprint (``xxhash64(text)``, a
+      window min — no giant arrays); the dropped members surface as
+      (member, representative) pairs at ``jaccard_est = 1.0`` via a
+      separate (id, fp)-only aggregate over the source (text never
+      shuffles, the sketch never forks). For dedup decisions
+      (connected components / keep-canonical) this star closure is
+      equivalent to the O(g^2) all-pairs expansion it replaces, with
+      O(g) output.
+      64-bit fingerprint collisions (astronomically rare below ~2^32
+      distinct texts) would mark two different texts 1.0 — the
+      standard content-fingerprint trade.
+    - **2D block decomposition.** A bucket still larger than
+      ``bucket_cap`` after the collapse (many *distinct* near-identical
+      docs) is split into ``ceil(g / bucket_cap)`` chunks; every chunk
+      pair (i <= j) becomes its own task, so each task compares at
+      most ``2 * bucket_cap`` signatures while the full pair set is
+      still produced EXACTLY — no silent cap, no dropped candidates.
+      Replication factor per member is ``nchunks``, so total work
+      remains the bucket's inherent O(g^2/2), just bounded per task.
+
+    Scale: the only shuffles are an up-front spread of the input, ONE
+    repartition on (band, band_hash) — the fp-collapse and blocking
+    windows and the block groupBy all reuse that partitioning (their
+    keys are supersets) — the narrow (fp, id) star aggregate/join,
+    and the final pair dedup; candidate pairs are band-local so cost
+    tracks true-duplicate density, not n^2.
 
     Sketching is CPU-bound, not IO-bound: parallelism must track
     cores, not input bytes. A small input (one parquet row group)
@@ -246,23 +284,99 @@ def minhash_near_duplicates(
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
+    if bucket_cap < 2:
+        raise ValueError("bucket_cap must be at least 2")
 
     src = spread(df, id_col, target=num_partitions).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.xxhash64(text_col).alias("fp"),
     )
     fn, schema = _minhash_band_rows(
         src.schema["id"], k, num_hashes, bands, seed
     )
     banded = src.mapInPandas(fn, schema)
 
-    # Bucket-local pair generation: one groupBy instead of a self-join,
-    # so the signature stage above is evaluated ONCE (a self-join
-    # would recompute it for each side). Only buckets with >1 member
-    # survive the filter — a tiny fraction of rows — so the pairwise
-    # expansion runs over candidate-dense data only.
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
+    # Star pairs come from a SEPARATE (id, fp) pass over the source —
+    # text is hashed in the scan project and never shuffled, and the
+    # expensive sketch stage is not forked (a fork off `banded` would
+    # re-run the whole MapInPandas sketch for the star branch: Spark's
+    # exchange reuse does not match the re-aliased twin subtree).
+    fp_ids = src.select("id", "fp")
+    dup_reps = (
+        fp_ids.groupBy("fp")
+        .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n"))
+        .filter(F.col("grp_n") > 1)
+        .select("fp", "rep_id")
+    )
+    star_pairs = (
+        fp_ids.join(dup_reps, "fp")
+        .filter(F.col("id") != F.col("rep_id"))
+        .select(
+            F.least("id", "rep_id").alias("id_a"),
+            F.greatest("id", "rep_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard_est"),
+        )
+    )
+
+    # ONE exchange on the bucket key; every window/groupBy below keys
+    # on a superset of (band, band_hash) and reuses this partitioning.
+    bucketed = banded.repartition("band", "band_hash")
+
+    # Exact-duplicate collapse: one representative per text
+    # fingerprint within the bucket. Window min streams through a
+    # spillable buffer — no collect_list of the (possibly giant)
+    # identical cluster anywhere.
+    w_fp = Window.partitionBy("band", "band_hash", "fp")
+    marked = bucketed.withColumn("rep_id", F.min("id").over(w_fp))
+
+    # Block decomposition of the surviving (distinct-text) bucket:
+    # row_number -> chunk in [0, nchunks); a member of chunk q joins
+    # block task (q, j) for every j >= q and (i, q) for every i < q,
+    # all in one explode so the bucket partitioning is preserved.
+    w_b = Window.partitionBy("band", "band_hash")
+    kept = (
+        marked.filter(F.col("id") == F.col("rep_id"))
+        .withColumn("g", F.count(F.lit(1)).over(w_b))
+        .filter(F.col("g") > 1)
+        .withColumn("rn", F.row_number().over(w_b.orderBy("id")))
+        .withColumn(
+            "nchunks", F.ceil(F.col("g") / F.lit(bucket_cap)).cast("int")
+        )
+        .withColumn("chunk", ((F.col("rn") - 1) % F.col("nchunks")).cast("int"))
+    )
+    assignments = F.concat(
+        F.transform(
+            F.sequence(F.col("chunk"), F.col("nchunks") - 1),
+            lambda j: F.struct(F.col("chunk").alias("bi"), j.alias("bj")),
+        ),
+        F.when(
+            F.col("chunk") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("chunk") - 1),
+                lambda i: F.struct(i.alias("bi"), F.col("chunk").alias("bj")),
+            ),
+        ).otherwise(F.array()),
+    )
+    blocks = kept.select(
+        "band",
+        "band_hash",
+        "id",
+        "sig",
+        "chunk",
+        F.explode(assignments).alias("blk"),
+    ).select(
+        "band",
+        "band_hash",
+        "id",
+        "sig",
+        "chunk",
+        F.col("blk.bi").alias("bi"),
+        F.col("blk.bj").alias("bj"),
+    )
+    tasks = (
+        blocks.groupBy("band", "band_hash", "bi", "bj")
+        .agg(F.collect_list(F.struct("id", "sig", "chunk")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
 
@@ -274,22 +388,37 @@ def minhash_near_duplicates(
 
         for pdf in batches:
             id_a, id_b, est = [], [], []
-            for ms in pdf["ms"]:
-                members = sorted(ms, key=lambda m: m["id"])
-                sig_mat = np.array([np.asarray(m["sig"]) for m in members])
-                for i in range(len(members)):
-                    eq = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
-                    for j, e in enumerate(eq, start=i + 1):
-                        if e >= min_jaccard:
-                            id_a.append(members[i]["id"])
-                            id_b.append(members[j]["id"])
-                            est.append(float(e))
+            for bi, bj, ms in zip(pdf["bi"], pdf["bj"], pdf["ms"]):
+                if bi == bj:
+                    members = sorted(ms, key=lambda m: m["id"])
+                    sig_mat = np.array(
+                        [np.asarray(m["sig"]) for m in members]
+                    )
+                    for i in range(len(members)):
+                        eq = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
+                        for j, e in enumerate(eq, start=i + 1):
+                            if e >= min_jaccard:
+                                id_a.append(members[i]["id"])
+                                id_b.append(members[j]["id"])
+                                est.append(float(e))
+                else:
+                    left = [m for m in ms if m["chunk"] == bi]
+                    right = [m for m in ms if m["chunk"] == bj]
+                    sig_r = np.array([np.asarray(m["sig"]) for m in right])
+                    for m in left:
+                        eq = (sig_r == np.asarray(m["sig"])).mean(axis=1)
+                        for j, e in enumerate(eq):
+                            if e >= min_jaccard:
+                                lo, hi = sorted((m["id"], right[j]["id"]))
+                                id_a.append(lo)
+                                id_b.append(hi)
+                                est.append(float(e))
             yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "jaccard_est": est})
 
-    pairs = buckets.mapInPandas(
+    pairs = tasks.mapInPandas(
         pair_fn, f"id_a {id_type}, id_b {id_type}, jaccard_est double"
     )
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 def simhash(text_col, bits: int = 64) -> "F.Column":

@@ -64,16 +64,26 @@ def test_minhash_has_no_barrier_on_presplit_input(spark, sf_dir, tmp_path):
         docs, "doc_id", "text", k=5, num_hashes=32, bands=8, min_jaccard=0.4
     )
     plan = _physical(pairs)
-    # two exchanges survive: band-bucket groupBy + pair dedup. No
-    # up-front repartition of (id, text) — the sketch MapInPandas
-    # sits directly on the FileScan.
-    assert plan.count("Exchange hashpartitioning") == 2
+    # exactly ONE repartition exchange — the deliberate (band,
+    # band_hash) bucket barrier; the fp-collapse window, the blocking
+    # windows and the block-task groupBy all reuse it (superset keys).
+    # No up-front repartition of (id, text): the sketch MapInPandas
+    # sits directly on the FileScan, and it appears exactly ONCE (the
+    # exact-dup star branch must not fork/re-run the sketch).
+    assert plan.count("REPARTITION_BY_COL") == 1
+    assert plan.count("MapInPandas fn(") == 1
+    # remaining exchanges are all narrow: the (fp, id) star aggregate
+    # + its join side, and the final pair dedup
+    assert plan.count("Exchange hashpartitioning") <= 4
 
     # and on the single-file fixture the spread barrier IS present
+    # (spread passes an explicit partition count -> REPARTITION_BY_NUM;
+    # it shows once per branch of the star-pair fork)
     one = load(spark, "documents", sf_dir).select("doc_id", "text").coalesce(1)
     plan_one = _physical(
         minhash_near_duplicates(
             one, "doc_id", "text", k=5, num_hashes=32, bands=8, min_jaccard=0.4
         )
     )
-    assert plan_one.count("Exchange hashpartitioning") == 3
+    assert plan_one.count("REPARTITION_BY_NUM") >= 1
+    assert plan_one.count("REPARTITION_BY_COL") == 1
