@@ -15,8 +15,12 @@ and prefixes are short and start with rare tokens, which keeps the
 token-keyed candidate join sparse. Every candidate is then verified
 exactly, so the output is identical to the brute-force join.
 
-Scale shape: one vocabulary aggregate (map-side combined, result
-broadcast), one explode of short prefixes, one token-keyed self-join
+Scale shape: one vocabulary aggregate (map-side combined), a
+distributed total-order rank over it (range-bucket prefix-sum — never
+a single-task global sort; the vocabulary of a 100 TB corpus is
+itself a large table), a planner-chosen rank join (broadcast only
+when the vocab is actually small), one explode of short prefixes,
+one token-keyed self-join
 whose fan-out per token is bounded by that token's document
 frequency (the frequency ordering puts hot tokens OUT of prefixes),
 and one exact verification join on the pair key. No stage is
@@ -25,8 +29,10 @@ quadratic in the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .quantiles import global_row_number
 
 
 def prefix_filter_jaccard_join(
@@ -56,18 +62,21 @@ def prefix_filter_jaccard_join(
     )
 
     # global document frequency per token -> rarest-first total order
-    # (df, token) so ordering is deterministic across runs/engines
+    # (df, token) so ordering is deterministic across runs/engines.
+    # At 100 TB of text the vocabulary is itself a large table
+    # (hundreds of millions of tokens), so the rank must NOT be a
+    # bare row_number() OVER (ORDER BY ...) — that's a single-task
+    # global sort — and the rank join must NOT force a broadcast of
+    # the full vocab. global_row_number assigns the identical total
+    # order distributively (range-bucket + broadcast per-bucket
+    # offsets), and the planner/AQE picks the join strategy (it will
+    # still broadcast when the vocab is actually small).
     vocab = (
         base.select(F.explode("ts").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    rank_w = Window.orderBy("df", "tok")
-    # the vocabulary is post-aggregation (≪ corpus); the rank window
-    # is the only global ordering and runs over that small table —
-    # replace with quantiles.global_row_number if the vocabulary
-    # itself ever becomes corpus-sized
-    ranked = vocab.withColumn("rnk", F.row_number().over(rank_w)).select(
+    ranked = global_row_number(vocab, ["df", "tok"], out_col="rnk").select(
         "tok", "rnk"
     )
 
@@ -75,7 +84,7 @@ def prefix_filter_jaccard_join(
     with_rnk = (
         base.select("id", "blk", F.size("ts").alias("n"), "ts")
         .withColumn("tok", F.explode("ts"))
-        .join(F.broadcast(ranked), "tok")
+        .join(ranked, "tok")
     )
     ordered = (
         with_rnk.groupBy("id", "blk", "n")
