@@ -40,6 +40,20 @@ HEADLINE = (
     "eval_contamination",
 )
 
+#: round-3 heavy operator families, timed since round 4 (VERDICT r3
+#: item 4): sweep-line concurrency, prefix-filter simjoin, basket
+#: co-occurrence PMI, triangle census, and exact connected components.
+#: Kept OUT of the ``value`` headline total so the r1→rN trend series
+#: stays like-for-like; their timings appear in ``queries`` and in the
+#: ``value_all`` total.
+HEAVY = (
+    "peak_concurrency",
+    "prefix_join_near_dups",
+    "pmi_collocations",
+    "brand_triangle_stats",
+    "near_dup_components_exact",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,7 +91,7 @@ def main() -> None:
     def _materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    for name in HEADLINE:
+    for name in HEADLINE + HEAVY:
         try:
             _materialize(qs[name].build(spark, "/root/testdata/sf0.001"))
         except Exception as exc:  # noqa: BLE001
@@ -93,7 +107,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEAVY:
         best = float("inf")
         try:
             for _ in range(reps):
@@ -109,9 +123,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_total",
-        "value": round(sum(timings.values()), 4),
+        # trend-comparable series: the original 12-query headline only
+        "value": round(sum(v for k, v in timings.items() if k in HEADLINE), 4),
         "unit": "sec",
         "queries": timings,
+        "value_all": round(sum(timings.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

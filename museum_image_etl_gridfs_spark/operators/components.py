@@ -102,10 +102,24 @@ def triangle_census(
     global transitivity 3·T / Σ d(d−1)/2, NULL when the graph has no
     open or closed triads (matching SQL NULL division, not NaN).
 
+    The input is normalized defensively (least/greatest orientation,
+    self-loop rejection, distinct): a duplicate or reversed edge would
+    otherwise double-count degrees and mis-count triangles silently.
+    The normalization is a single narrow projection + the dedup
+    aggregate — negligible next to the census joins — and is a no-op
+    pass-through for already-canonical input.
+
     Callers should pass a checkpointed/cached edge list — the census
     reads it from four branches (degrees, triangles, counts).
     """
-    e = edges.select(F.col(src).alias("b1"), F.col(dst).alias("b2"))
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("b1"),
+            F.greatest(F.col(src), F.col(dst)).alias("b2"),
+        )
+        .filter(F.col("b1") != F.col("b2"))
+        .distinct()
+    )
     deg = (
         e.select(F.col("b1").alias("vx"))
         .unionByName(e.select(F.col("b2").alias("vx")))

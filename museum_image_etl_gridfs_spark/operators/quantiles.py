@@ -157,21 +157,43 @@ def running_totals(
             )
         return out
     spark = df.sparkSession
+    # per-bucket NULL counts ride along in the same aggregate pass:
+    # SUM ignores NULLs, so a bucket with SOME NULLs would pass a
+    # sum-is-NULL check yet yield NULL running totals for rows before
+    # the bucket's first non-NULL (NULL + offset = NULL), where real
+    # SQL running sums would carry the prior-bucket offset — refuse
+    # loudly instead of diverging silently (mirrors the lead-key
+    # NULL/NaN guard in _with_range_pid).
     agg_df = t.groupBy("__pid").agg(
-        *[F.sum(c).alias(f"__off_{c}") for c in value_cols]
+        *[F.sum(c).alias(f"__off_{c}") for c in value_cols],
+        *[
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__nulls_{c}")
+            for c in value_cols
+        ],
     )
     by_pid = {r["__pid"]: r for r in agg_df.collect()}
     rows, acc = [], {c: None for c in value_cols}
     for pid in sorted(by_pid):
         rows.append((int(pid), *[acc[c] for c in value_cols]))
         for c in value_cols:
+            if by_pid[pid][f"__nulls_{c}"]:
+                raise ValueError(
+                    f"running_totals: NULL values in {c!r} are not "
+                    "supported (running-sum carry would diverge from "
+                    "SQL semantics)"
+                )
             v = by_pid[pid][f"__off_{c}"]
             if v is None:
                 raise ValueError(f"running_totals: NULL sum in {c!r}")
             acc[c] = v if acc[c] is None else acc[c] + v
     # offsets carry the SUM's type (e.g. long for ints, widened
     # decimal) — never the narrower input type
-    off = F.broadcast(spark.createDataFrame(rows, agg_df.schema))
+    from pyspark.sql.types import StructType
+
+    off_schema = StructType(
+        [f for f in agg_df.schema.fields if not f.name.startswith("__nulls_")]
+    )
+    off = F.broadcast(spark.createDataFrame(rows, off_schema))
     local = (
         Window.partitionBy("__pid")
         .orderBy(*order_keys)

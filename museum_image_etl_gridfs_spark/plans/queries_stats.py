@@ -705,11 +705,19 @@ _PSI_BUCKETS = 10
                           {_PSI_BUCKETS - 1}) AS INTEGER) + 1 AS bucket,
                CASE WHEN year(o_orderdate) <= 1994 THEN 1 ELSE 0 END AS base
         FROM orders),
-    counts AS (
+    counts0 AS (
         SELECT bucket,
                CAST(SUM(base) AS BIGINT) AS n_base,
                CAST(SUM(1 - base) AS BIGINT) AS n_cur
         FROM b GROUP BY bucket),
+    spine AS (
+        SELECT CAST(x AS INTEGER) AS bucket
+        FROM range(1, {_PSI_BUCKETS + 1}) t(x)),
+    counts AS (
+        SELECT spine.bucket,
+               COALESCE(n_base, 0) AS n_base,
+               COALESCE(n_cur, 0) AS n_cur
+        FROM spine LEFT JOIN counts0 USING (bucket)),
     tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM counts)
     SELECT bucket, n_base, n_cur,
            round((CAST(n_base + 1 AS DOUBLE)
@@ -737,6 +745,13 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact integers, and each PSI term is one shared IEEE
     expression over those integers, rounded at the end.
 
+    All ``_PSI_BUCKETS`` buckets contribute a term even when empty in
+    both periods (full 1..k spine, counts left-joined with 0 fill):
+    Laplace smoothing divides by ``tot + k``, so the emitted
+    probabilities must sum to 1 across exactly k buckets — dropping
+    an empty bucket's nonzero smoothed term would make the statistic
+    silently non-standard (ADVICE r3).
+
     Scale shape: one map-side-combined groupBy onto ≤ 10 bucket rows;
     the totals row is broadcast. Nothing else moves.
     """
@@ -750,9 +765,17 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
         F.when(F.year("o_orderdate") <= 1994, 1).otherwise(0).alias("base"),
     )
-    counts = b.groupBy("bucket").agg(
+    counts0 = b.groupBy("bucket").agg(
         F.sum("base").alias("n_base"),
         F.sum(1 - F.col("base")).alias("n_cur"),
+    )
+    spine = spark.range(1, _PSI_BUCKETS + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    counts = spine.join(counts0, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_base", F.lit(0).cast("long")).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0).cast("long")).alias("n_cur"),
     )
     tot = counts.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
     k = F.lit(float(_PSI_BUCKETS))
@@ -842,12 +865,16 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: lineitem shuffles ONCE on supplier key (map-side
     partials); everything after operates on the supplier-level
     aggregate (≪ fact); nation and the per-nation totals broadcast.
+    The supplier dimension join is planner-chosen (NOT a forced
+    broadcast — supplier grows with SF; AQE broadcasts it while it is
+    small and falls back to shuffle join when it is not, same policy
+    as order_brand_pairs).
     """
     li = load(spark, "lineitem", sf_dir).select("l_suppkey", "l_extendedprice")
     sup = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
     nat = load(spark, "nation", sf_dir).select("n_nationkey", "n_name")
     rev = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")

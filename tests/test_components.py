@@ -89,3 +89,23 @@ def test_triangle_census_complete_k4(spark):
     r = _census(spark, edges)
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
     assert r["transitivity"] == 1.0
+
+
+def test_triangle_census_normalizes_messy_edges(spark):
+    """ADVICE r3: reversed, duplicated, and self-loop edges must not
+    double-count degrees or mis-count triangles — the census
+    normalizes to least/greatest-distinct orientation itself."""
+    messy = [
+        ("b", "a"),  # reversed
+        ("a", "b"),  # duplicate of the above after orientation
+        ("a", "c"),
+        ("c", "b"),  # reversed
+        ("c", "d"),
+        ("d", "c"),  # reverse-duplicate
+        ("d", "d"),  # self-loop
+    ]
+    r = _census(spark, messy)
+    # canonical graph: triangle a-b-c plus pendant c-d (same as
+    # test_triangle_census_triangle_with_tail)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 1)
+    assert r["transitivity"] == 0.6

@@ -170,3 +170,17 @@ def test_running_totals_empty_input(spark):
     out = running_totals(df, ["v", "id"], ["a"])
     assert out.count() == 0
     assert "cum_a" in out.columns
+
+
+def test_running_totals_rejects_partial_nulls(spark):
+    """ADVICE r3: a value column with SOME NULLs used to pass the
+    bucket-sum NULL check but yield NULL running totals for rows
+    before a bucket's first non-NULL — refuse loudly instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, None if i == 7 else i * 10) for i in range(20)],
+        "id long, a long",
+    )
+    with pytest.raises(ValueError, match="NULL values in 'a'"):
+        running_totals(df, ["id"], ["a"]).collect()
