@@ -104,16 +104,26 @@ def prefix_filter_jaccard_join(
         .withColumn("prefix", F.expr("slice(ord.rnk, 1, plen)"))
     )
 
+    # candidate join on shared prefix tokens, plus the AllPairs LENGTH
+    # filter: Jaccard(x, y) <= min(|x|,|y|)/max(|x|,|y|), so a
+    # qualifying pair needs t*|a| <= |b| and t*|b| <= |a| — a cheap
+    # non-equi predicate evaluated inside the equi-join, pruning
+    # candidates before the distinct + exact-verify stages. The same
+    # ulp down-nudge as plen: undershooting only ADMITS extra
+    # candidates (still exact after verification), never drops one.
+    tn = F.lit(threshold)
     cand = (
-        ordered.select("id", "blk", F.explode("prefix").alias("p"))
+        ordered.select("id", "blk", "n", F.explode("prefix").alias("p"))
         .alias("a")
         .join(
-            ordered.select("id", "blk", F.explode("prefix").alias("p")).alias(
-                "b"
-            ),
+            ordered.select(
+                "id", "blk", "n", F.explode("prefix").alias("p")
+            ).alias("b"),
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.p") == F.col("b.p"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") >= tn * F.col("a.n") - F.lit(1e-9))
+            & (F.col("a.n") >= tn * F.col("b.n") - F.lit(1e-9)),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
