@@ -178,15 +178,14 @@ _SENTINELS = (
 )
 
 
-#: never-verified queries deliberately sorted to the BACK of the
-#: unverified band: the round-3 additions outnumber the driver's
-#: 50-row budget, so when something must overflow the prefix, prefer
-#: deferring simple pure-Catalyst SQL shapes (lowest novel-code risk;
-#: all locally oracle-green at three SFs) over novel-operator queries
-#: (sketches, skyline, prefix-sum/order-statistics machinery, graph
-#: components, simjoin, recursive CTE, UDAF/UDTF, sinks, custom
-#: sources). With this set deferred, every non-deferred band-0 query
-#: fits the 50-row budget.
+#: within the never-verified band, these sort LAST: simple
+#: pure-Catalyst SQL shapes (lowest novel-code risk; all locally
+#: oracle-green at three SFs) yield the front of the band to
+#: novel-operator queries (sketches, skyline, prefix-sum machinery,
+#: graph components, simjoin, recursive CTE, UDAF/UDTF, sinks,
+#: custom sources). In round 4 the whole band fits the 50-row budget
+#: (34 never-verified + 5 sentinels + 11 stale re-checks = 50), so
+#: this ordering only matters again if a future round adds queries.
 _BAND0_LAST = frozenset(
     {
         "big_spender_segments_intersect",

@@ -73,6 +73,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("names", nargs="*", help="subset of query names")
+    ap.add_argument("--out", default=None, help="write full per-query results JSON here")
     args = ap.parse_args()
 
     spark = get_spark("correctness-check")
@@ -127,6 +128,18 @@ def main() -> int:
             print(f"[ok] {name}: {len(s_n)} rows in {results[name]['sec']}s")
 
     print(json.dumps({"total": len(names), "failed": failures}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "total": len(names),
+                    "failed": failures,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
