@@ -2,7 +2,10 @@
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+JSON line: {"metric", "value", "unit", "queries", "value_all", "sf"}.
+``value`` stays the original 12-query headline total (like-for-like
+r1→rN trend); ``queries`` and ``value_all`` additionally cover the
+round-3 heavy operator families (``HEAVY``).
 
 Each query is timed to FULL materialization via the noop batch sink
 (count() would let Catalyst prune every projected column — a "fast"
