@@ -236,8 +236,19 @@ def minhash_near_duplicates(
     Pipeline: shingle -> signature -> band hashes (one Arrow-batched
     mapInPandas stage, see :func:`_minhash_band_rows`) -> repartition
     on the band bucket -> bucket-local pair generation -> Jaccard
-    estimate from full signatures -> filter. Returns
-    (id_a, id_b, jaccard_est) with id_a < id_b.
+    estimate from full signatures -> filter.
+
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b — a
+    **star-closure-reduced** pair set: members of an exact-duplicate
+    cluster appear only in (member, representative, 1.0) pairs, and
+    cross pairs against other documents are emitted for the
+    representative alone (see the exact-duplicate collapse below).
+    The set is complete up to connected-component equivalence — the
+    contract the dedup consumers (``near_dup_clusters`` /
+    keep-canonical) need — NOT the full cross product of every
+    qualifying pair. A consumer that needs the literal all-pairs list
+    must re-expand by joining each exact-dup member onto its
+    representative's pairs.
 
     Two guards make the bucket stage safe on real web corpora, where
     a boilerplate-heavy cluster can put millions of documents into

@@ -51,6 +51,13 @@ def prefix_filter_jaccard_join(
     Exact: the prefix filter only PRUNES candidates that provably
     cannot reach the threshold; survivors are verified with exact
     intersection arithmetic.
+
+    NOT a pure lazy plan builder: the vocabulary rank runs through
+    :func:`~..quantiles.global_row_number`, whose range-bucket
+    machinery executes Spark jobs (a min/max probe, split-point
+    sampling, per-bucket counts) at CONSTRUCTION time — same eager
+    pattern as ``running_totals``. Plan-inspection/dry-run callers pay
+    the vocabulary aggregation even if they never act on the result.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
