@@ -26,6 +26,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .staleness import LAST_CHECKED
+
 Builder = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, "Query"] = {}
@@ -75,100 +77,12 @@ def query(
     return deco
 
 
-#: queries with a green driver CORRECTNESS row in round 1. The driver
-#: verifies a prefix of the registry, so these go last: re-verifying
-#: them repeatedly would leave newer queries permanently unchecked.
-_VERIFIED_R01 = frozenset(
-    {
-        "flagship_dup_groups", "pricing_summary", "dedup_keep_first_orders",
-        "top_orders", "customer_order_stats", "revenue_by_nation",
-        "shipping_priority", "region_nation_rollup", "lineitem_cube",
-        "distinct_segments", "customers_no_recent_orders",
-        "segments_with_big_orders", "nation_roles_union",
-        "rich_customer_nations_except", "top_parts_per_brand",
-        "running_customer_spend", "order_gap_days", "split_distribution",
-        "split_assignment", "project_rename_filename", "museum_pipeline",
-        "na_standardize_three_way", "incremental_pending", "ingest_head",
-        "gridfs_chunk_plan", "gridfs_roundtrip", "text_stats", "text_quality",
-        "lang_id", "token_length_histogram", "doc_chunks", "exact_dedup_stats",
-        "ngram_jaccard_pairs", "minhash_near_dups", "simhash_fingerprints",
-        "near_dup_clusters", "cosine_topk", "l2_nearest",
-        "embedding_norm_stats", "lsh_bucketed_ann", "ivf_topk_ann",
-        "events_tumbling_1h", "events_sliding_1h_30m", "user_sessions",
-        "event_props_extract", "stream_tumbling_1h", "stream_user_totals",
-        "stream_expired_sessions", "events_dedup_rerun",
-        "stream_attribution_pairs",
-    }
-)
-
-#: queries with a green driver CORRECTNESS row in round 2 (the driver
-#: checked a disjoint 50-query prefix by design; union with r1 below).
-_VERIFIED_R02 = frozenset(
-    {
-        "asof_prev_order_price", "audio_resample_plan", "bm25_scores",
-        "bpe_token_stats", "cross_nation_trade",
-        "customer_order_distribution", "disjunctive_bracket_revenue",
-        "embedding_near_dup_pairs", "eval_contamination",
-        "excess_supply_candidates", "flagship_dup_groups",
-        "forecast_revenue_change", "idle_customer_balance",
-        "image_etl_gridfs", "important_part_values",
-        "large_order_customers", "late_shipment_priority",
-        "min_cost_supplier", "monthly_revenue_trend",
-        "multimodal_transform", "nation_market_share",
-        "pii_redaction_stats", "price_histogram", "price_percentiles",
-        "price_quantity_stats", "priority_exists_counts",
-        "product_type_profit", "promo_revenue_ratio", "quality_flags",
-        "quantity_tier_revenue", "returned_item_report",
-        "returnflag_pivot", "rolling_fingerprints",
-        "salted_order_counts", "scd2_customer_versions",
-        "small_quantity_revenue", "sole_return_suppliers",
-        "source_mixture_epoch", "stratified_sample",
-        "supplier_rank_board", "supplier_variety", "table_profile",
-        "tfidf_top_terms", "token_budget_packing",
-        "top_balances_per_nation", "top_revenue_supplier",
-        "training_shards", "upsert_transform_markers",
-        "video_frame_sample_plan", "zorder_layout_stats",
-    }
-)
-
-#: queries with a green driver CORRECTNESS row in round 3 (again a
-#: disjoint 50-query prefix; 0 failures, 4 ``no_oracle`` rows-only).
-_VERIFIED_R03 = frozenset(
-    {
-        "applyinpandas_gap_stats", "approx_distinct_parts",
-        "benford_price_digits", "binary_fetch_pipeline",
-        "brand_affinity_cosine", "brand_pagerank", "brand_triangle_stats",
-        "corpus_curation_pipeline", "decayed_user_value",
-        "embedding_quantization", "gapfilled_hourly_counts",
-        "gini_customer_spend", "heavy_hitter_tokens",
-        "http_ingest_pipeline", "incremental_rollup_merge",
-        "inverted_index", "ivm_join_delta", "json_quarantine_stats",
-        "kmeans_cluster_profile", "ks_returned_price",
-        "matryoshka_energy_profile", "near_dup_components_exact",
-        "negative_sampling_pairs", "ols_price_trend",
-        "pairwise_price_correlations", "pareto_frontier_parts",
-        "partitioned_sink_roundtrip", "pca_projection",
-        "peak_concurrency", "pit_customer_versions", "pmi_collocations",
-        "prefix_join_near_dups", "price_deciles",
-        "python_datasource_scan", "recursive_brand_reach",
-        "segment_priority_chisq", "semantic_dedup_keep",
-        "session_top_paths", "snapshot_diff", "stream_enriched_segments",
-        "stream_event_funnel", "stream_hourly_ohlc",
-        "stream_merge_sink_roundtrip", "stream_unconverted_clicks",
-        "trailing_24h_user_value", "udaf_quantity_stats",
-        "udtf_bigram_counts", "unigram_lm_scores", "user_event_type_map",
-        "weighted_sample_topk",
-    }
-)
-
-_VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03
-
-#: prior-round greens deliberately re-pinned in the verified prefix as
-#: regression sentinels — one per fixture-sensitive table family
-#: (lineitem/orders core, events batch, events streaming, documents,
-#: embeddings), so a driver fixture change (e.g. the round-2 events
-#: NANOS→MICROS/NTZ rewrite) flips a CORRECTNESS row red instead of
-#: only surfacing as a bench crash.
+#: prior-round greens deliberately re-pinned FIRST in the verified
+#: prefix as regression sentinels — one per fixture-sensitive table
+#: family (lineitem/orders core, events batch, events streaming,
+#: documents, embeddings), so a driver fixture change (e.g. the
+#: round-2 events NANOS->MICROS/NTZ rewrite) flips a CORRECTNESS row
+#: red instead of only surfacing as a bench crash.
 _SENTINELS = (
     "flagship_dup_groups",
     "user_sessions",
@@ -178,102 +92,36 @@ _SENTINELS = (
 )
 
 
-#: within the never-verified band, these sort LAST: simple
-#: pure-Catalyst SQL shapes (lowest novel-code risk; all locally
-#: oracle-green at three SFs) yield the front of the band to
-#: novel-operator queries (sketches, skyline, prefix-sum machinery,
-#: graph components, simjoin, recursive CTE, UDAF/UDTF, sinks,
-#: custom sources). In round 4 the whole band fits the 50-row budget
-#: (34 never-verified + 5 sentinels + 11 stale re-checks = 50), so
-#: this ordering only matters again if a future round adds queries.
-_BAND0_LAST = frozenset(
-    {
-        "big_spender_segments_intersect",
-        "acctbal_distribution_ranks",
-        "sql_surface_windows",
-        "nation_share_of_region",
-        "fuzzy_name_matches",
-        "hourly_ohlc",  # its streaming twin is prefix-checked and the
-        # batch/stream pair is pinned equal in tests/test_streaming.py
-        "ab_conversion_lift",
-        "table_checksums",
-        "orc_sink_roundtrip",
-        # session 2/3 simple relational shapes (plain agg/window SQL):
-        "fk_integrity_audit",
-        "lang_confusion_matrix",
-        "hourly_anomaly_hours",
-        "dow_hour_profile",
-        "priority_ship_lead_times",
-        "brand_cooccurrence",
-        "frequent_bigrams",
-        "unigram_entropy",
-        "length_outliers_by_lang",
-        "customer_ltv_deciles",  # same ntile machinery as the
-        # prefix-checked price_deciles
-        "event_funnel",
-        "weekly_retention",
-        "event_transitions",
-        "grouping_sets_revenue",
-        # session 4 simple relational shapes (the novel-machinery
-        # session-4 queries — gini/ks prefix-sums, components, simjoin,
-        # recursive CTE, negative sampling, correlations — stay in):
-        "order_streak_islands",
-        "mad_outlier_quantities",
-        "trimmed_mean_prices",
-        "unpivot_returnflag_metrics",
-        "group_by_all_revenue",
-        "order_share_of_customer",
-        "psi_price_drift",
-        "hhi_supplier_concentration",
-    }
-)
-
-
-#: stale round-1-only greens explicitly re-pinned into the round-4
-#: prefix: the five oracle-less (rows-only) dedup/ANN queries whose
-#: driver rows date to round 1, plus the six batch/streaming events
-#: queries — the family that regressed silently in round 2 — none of
-#: which has had a driver row since round 1. Sized so that
-#: 5 sentinels + 34 never-verified + these 11 = exactly the driver's
-#: 50-row budget (round 4 adds no new queries by design).
-_STALE_RECHECK = frozenset(
-    {
-        "minhash_near_dups", "simhash_fingerprints", "near_dup_clusters",
-        "lsh_bucketed_ann", "ivf_topk_ann",
-        "events_tumbling_1h", "events_sliding_1h_30m",
-        "stream_user_totals", "stream_expired_sessions",
-        "events_dedup_rerun", "stream_attribution_pairs",
-    }
-)
-
-
 def _priority(q: Query) -> tuple[int, int]:
-    """Sort key placing driver-unverified queries in the checked prefix.
+    """Sort key rotating the STALEST queries into the driver prefix.
 
-    0: sentinels — one per fixture-sensitive family. FIRST so new-query
-       waves can never crowd them out of the driver's budget again
-       (round 3's 81 additions crowded out ``user_sessions`` /
-       ``stream_tumbling_1h`` when sentinels ranked below band 0).
-    1: never driver-verified in any round (r1 ∪ r2 ∪ r3) — within the
-       band, ``_BAND0_LAST`` members sort after the rest
-    2: stale round-1-only re-checks (``_STALE_RECHECK``)
-    3: already driver-verified and not stale
+    The driver verifies a fixed-budget prefix of the registry (50
+    rows), so ordering IS the verification policy:
+
+    - sentinels first — new-query waves can never crowd them out;
+    - then ascending last-green-driver-round from the generated
+      ``staleness.LAST_CHECKED`` table (``tools/gen_staleness.py``),
+      with never-checked (or red-last-round) queries at round 0, i.e.
+      ahead of everything previously green;
+    - registration order breaks ties (stable sort).
+
+    With a 183-query registry and a 50-row budget this re-verifies
+    every query at least once every ~4 rounds, so no driver row ages
+    indefinitely (round 4's max age was 3; the rotation keeps it
+    there).
     """
     if q.name in _SENTINELS:
-        return (0, 0)
-    if q.name not in _VERIFIED:
-        return (1, 1 if q.name in _BAND0_LAST else 0)
-    if q.name in _STALE_RECHECK:
-        return (2, 0)
-    return (3, 0)
+        return (-1, 0)
+    return (LAST_CHECKED.get(q.name, 0), 0)
 
 
 def all_queries() -> dict[str, Query]:
     """Import all query modules and return the full registry.
 
     Ordered so the driver's prefix-limited correctness pass spends its
-    budget on queries without a prior green row (registration order is
-    preserved within each priority band).
+    budget on the stalest driver rows (sentinels first, then ascending
+    last-green round; registration order is preserved within each
+    priority band).
     """
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)

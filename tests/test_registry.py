@@ -21,6 +21,25 @@ def test_registry_nonempty_and_named():
         assert q.name == name and q.doc, name
 
 
+def test_driver_prefix_rotates_stalest_first():
+    """The driver verifies a 50-row prefix: sentinels must lead, and
+    the rest must be ordered by ascending last-green driver round so
+    no query's CORRECTNESS row ages indefinitely."""
+    from museum_image_etl_gridfs_spark.plans.registry import _SENTINELS
+    from museum_image_etl_gridfs_spark.plans.staleness import LAST_CHECKED
+
+    names = list(QUERIES)
+    assert names[: len(_SENTINELS)] == list(_SENTINELS) or set(
+        names[: len(_SENTINELS)]
+    ) == set(_SENTINELS)
+    rounds = [LAST_CHECKED.get(n, 0) for n in names[len(_SENTINELS):]]
+    assert rounds == sorted(rounds)
+    # every registered query has a staleness entry once it has ever
+    # been driver-green; brand-new queries (round 0) must sort first
+    new = [n for n in names[len(_SENTINELS):] if n not in LAST_CHECKED]
+    assert names[len(_SENTINELS) : len(_SENTINELS) + len(new)] == new
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_builds_and_runs(spark, sf_dir, name):
     q = QUERIES[name]
