@@ -9,67 +9,309 @@ partition ids observed in one action don't match the next.
 
 All operators here share one machinery:
 
-1. range ids from native ``width_bucket`` over driver-collected
-   min/max of the leading sort column — codegen'd, value-monotone,
-   a pure function of the row (stable across jobs);
+1. range ids from driver-collected approx-quantile split points of
+   the leading sort column (count-balanced, unlike equal-width
+   ``width_bucket``) — the collected points are embedded as literals,
+   so the id is codegen'd, value-monotone, and a pure function of the
+   row (stable across jobs);
 2. per-bucket partials (counts / sums) → the only ``collect()``,
    O(buckets) rows (the kmeans-partials pattern) → broadcast
    cumulative offsets;
 3. a WITHIN-bucket window for local positions / running sums;
 4. global value = bucket offset + local value.
 
-Every stage is n/p per task. Bucket BALANCE is approximate under
-value skew (a hot range widens one task) while bucket MEMBERSHIP
-stays exact; pass a larger ``buckets_per_core`` to smooth skew.
+Every stage is n/p per task. Heavy-tailed lead keys are handled
+explicitly: a lead VALUE whose mass exceeds one bucket (Zipf token
+frequencies — e.g. the simjoin vocabulary where almost every token
+has document frequency 1 — or a dominant price point) is detected
+from repeated split points and SUB-BUCKETED by a monotone numeric
+encoding of the SECOND sort key, so no single value can pin the
+within-bucket sort to one task. Bucket membership stays exact; ties
+that survive sub-bucketing (no second key, or identical encodings)
+share a bucket and are ordered by the window's full key list.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _monotone_double(df: DataFrame, key: str) -> Column | None:
+    """A double-valued expression weakly monotone in ``key``'s order.
+
+    Used ONLY to sub-bucket rows that tie on the lead key — ties
+    within the encoding stay in one bucket and are ordered by the
+    window's full key list, so the encoding never has to be
+    injective, only (weakly) order-preserving. Strings go through
+    :func:`_string_enc_col` instead (they need the hot group's common
+    prefix stripped first). Returns ``None`` for types without a
+    cheap monotone encoding.
+    """
+    dt = df.schema[key].dataType
+    c = F.col(key)
+    if isinstance(dt, T.NumericType) or isinstance(
+        dt, (T.TimestampType, T.TimestampNTZType)
+    ):
+        return c.cast("double")
+    if isinstance(dt, T.BooleanType):
+        return c.cast("int").cast("double")
+    if isinstance(dt, T.DateType):
+        return c.cast("timestamp").cast("double")
+    return None
+
+
+#: 2^48 — the exact scale combining two 48-bit words into one double
+_W48 = float(1 << 48)
+
+
+def _string_enc_col(key: str, skip: int) -> Column:
+    """Double encoding of a string column, weakly monotone in Spark's
+    binary (UTF-8 byte) collation: big-endian value of UTF-8 bytes
+    ``skip*chars .. +12 bytes``, as ``hi*2^48 + lo`` (each word is an
+    exact 48-bit integer; the one rounded add is order-preserving —
+    rounding a monotone sequence to nearest keeps it weakly monotone).
+
+    ``skip`` drops the hot group's common prefix (character count),
+    computed by the caller from the group's min/max — a vocabulary
+    where every token shares a long prefix (URLs, "tok_000…") would
+    otherwise encode to one constant. 12 chars always cover the first
+    12 bytes of the remainder; rpad both zero-pads short remainders
+    and truncates long ones to 24 hex digits (12 bytes).
+    """
+    hexs = F.rpad(
+        F.hex(F.encode(F.substring(F.col(key), skip + 1, 12), "UTF-8")),
+        24,
+        "0",
+    )
+    return (
+        F.conv(F.substring(hexs, 1, 12), 16, 10).cast("double") * F.lit(_W48)
+        + F.conv(F.substring(hexs, 13, 12), 16, 10).cast("double")
+    )
+
+
+def _string_enc_py(s: str, skip: int) -> float:
+    """Driver-side twin of :func:`_string_enc_col` — bit-identical
+    (exact 48-bit words, one round-to-nearest add on both sides), so
+    min/max bounds computed from the group's min/max strings match the
+    executor-side expression exactly."""
+    b = s[skip : skip + 12].encode("utf-8")[:12].ljust(12, b"\0")
+    hi = int.from_bytes(b[:6], "big")
+    lo = int.from_bytes(b[6:], "big")
+    return float(hi * (1 << 48) + lo)
 
 
 def _with_range_pid(
     df: DataFrame, order_keys: Sequence[str], buckets_per_core: int
 ) -> DataFrame | None:
-    """Append a job-stable range id ``__pid`` from the lead sort key.
+    """Append a job-stable, count-balanced range id ``__pid``.
+
+    ``__pid`` is weakly monotone w.r.t. the ``order_keys`` total order
+    (never splits two ordered rows across out-of-order buckets) and a
+    pure function of the row given the embedded literals, so ids from
+    one Spark job match the next — the property ``repartitionByRange``
+    (which resamples split points per job) cannot give.
+
+    Balance comes from two mechanisms layered over the probe:
+
+    - split points are approx QUANTILES of the lead key (equal-count),
+      not equal-width ranges — a lognormal/Zipf tail no longer crowds
+      one bucket;
+    - a lead value whose own mass exceeds a bucket (it repeats among
+      the split points) becomes its own bucket *stratum*, sub-split by
+      a monotone double encoding of the second sort key into
+      ``ceil(count * nb / n)`` sub-buckets. Sub-splitting is skipped
+      (one bucket, exact but unbalanced) when there is no second key,
+      the second key has NULL/NaN or a constant encoding, or two
+      distinct lead values collide in double space — each a documented
+      degenerate tie.
 
     Returns ``None`` for an empty input. Raises on NULL/NaN lead keys
     — engines disagree on their ordering (Spark NULLS FIRST vs DuckDB
-    NULLS LAST) and ``width_bucket(NaN, ...)`` yields a NULL pid whose
-    rows would be SILENTLY dropped by the offsets inner join.
+    NULLS LAST) and a NULL id would be SILENTLY dropped by the offsets
+    inner join.
     """
     lead = order_keys[0]
     spark = df.sparkSession
     nb = max(spark.sparkContext.defaultParallelism, 2) * buckets_per_core
-    # The machinery reads its input 3x (min/max probe, per-bucket
-    # partials, final join). A lazy checkpoint materializes the
-    # upstream ONCE at the probe and pins its partitioning; without it
-    # an expensive upstream (join + groupBy) re-executes per pass
+    # The machinery reads its input 3-4x (probe, split points,
+    # per-bucket partials, final join). A lazy checkpoint materializes
+    # the upstream ONCE at the probe and pins its partitioning; without
+    # it an expensive upstream (join + groupBy) re-executes per pass
     # (measured 17.7 s -> 4 s on the Gini query at sf0.1).
     df = df.localCheckpoint(eager=False)
-    mn, mx, n_null, n_nan = df.agg(
+    # ONE probe job: guards + count-balanced split points together
+    # (percentile_approx rides in the same aggregate — a separate
+    # approxQuantile pass measurably showed up as per-call job-launch
+    # overhead on multi-call queries at bench scale)
+    mn, mx, n_null, n_nan, n, qs_raw = df.agg(
         F.min(lead),
         F.max(lead),
         F.count(F.when(F.col(lead).isNull(), 1)),
         F.count(F.when(F.isnan(F.col(lead).cast("double")), 1)),
+        F.count(F.lit(1)),
+        F.percentile_approx(
+            F.col(lead).cast("double"),
+            [i / nb for i in range(1, nb)],
+            10000,
+        ),
     ).first()
-    if n_null:  # least()/width_bucket would silently misplace NULLs
+    if n_null:  # a NULL id would silently drop rows at the offsets join
         raise ValueError(f"global order op: NULL values in lead key {lead!r}")
     if n_nan:
         raise ValueError(f"global order op: NaN values in lead key {lead!r}")
     if mn is None:
         return None
-    pid_expr = (
-        F.lit(1)
-        if mn == mx
-        else F.least(
-            F.width_bucket(F.col(lead), F.lit(mn), F.lit(mx), nb), F.lit(nb)
-        )
+    leadd = F.col(lead).cast("double")
+
+    # count-balanced split points (collected once, embedded as
+    # literals). A value repeated among the grid points carries
+    # ~(c-1)/nb of the mass; it is HOT — worth the extra stats/
+    # sub-split jobs — only when that mass exceeds a couple of target
+    # buckets AND a small absolute floor (a tiny input where every
+    # row spans several grid points must not trigger per-value
+    # machinery: its buckets are already single-digit rows).
+    seen: dict[float, int] = {}
+    for v in qs_raw or []:
+        seen[float(v)] = seen.get(float(v), 0) + 1
+    hot_floor = max(2 * n / nb, 4)
+    hots = sorted(
+        v for v, c in seen.items() if c >= 2 and (c - 1) * n / nb > hot_floor
     )
-    return df.withColumn("__pid", pid_expr)
+    splits = sorted(set(seen) - set(hots))
+
+    # per-hot-value stats decide whether a hot value can be sub-split
+    # by the second key (0 extra jobs for smooth keys — `hots` is
+    # empty whenever no single value fills a bucket)
+    sub: dict[float, tuple[int, Column]] = {}  # hot -> (k, branch expr)
+    if hots:
+        second = order_keys[1] if len(order_keys) > 1 else None
+        is_str = second is not None and isinstance(
+            df.schema[second].dataType, T.StringType
+        )
+        enc2 = (
+            _monotone_double(df, second)
+            if second is not None and not is_str
+            else None
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(lead).alias("vmin"),
+            F.max(lead).alias("vmax"),
+        ]
+        if second is not None:
+            aggs.append(
+                (F.count(F.lit(1)) - F.count(second)).alias("enull")
+            )
+        if is_str:
+            aggs += [F.min(second).alias("smin"), F.max(second).alias("smax")]
+        elif enc2 is not None:
+            aggs += [
+                F.min(enc2).alias("emin"),
+                F.max(enc2).alias("emax"),
+                F.count(F.when(F.isnan(enc2), 1)).alias("enan"),
+            ]
+        enc_of: dict[float, tuple[int, Column]] = {}  # hot -> (k, enc expr)
+        for r in (
+            df.filter(leadd.isin(hots)).groupBy(leadd.alias("__h")).agg(*aggs)
+        ).collect():
+            h = float(r["__h"])
+            sub[h] = (1, F.lit(1))
+            k = min(math.ceil(r["cnt"] * nb / max(n, 1)), nb)
+            # two distinct lead values collapsing to one double may NOT
+            # be interleaved by the second key (lead order wins) — keep
+            # a collapsed group in a single bucket; likewise NULL
+            # second keys (engines disagree on NULL order)
+            splittable = (
+                k > 1
+                and second is not None
+                and r["vmin"] == r["vmax"]
+                and not r["enull"]
+            )
+            if splittable and is_str and r["smin"] != r["smax"]:
+                # drop the group's common prefix so near-identical
+                # vocabularies ("tok_000001"…, URL corpora) still vary
+                # within the encoding's 12-byte window
+                smin, smax = r["smin"], r["smax"]
+                lcp = 0
+                while (
+                    lcp < min(len(smin), len(smax))
+                    and smin[lcp] == smax[lcp]
+                ):
+                    lcp += 1
+                enc_of[h] = (k, _string_enc_col(second, lcp))
+            elif (
+                splittable
+                and enc2 is not None
+                and not r["enan"]
+                and r["emin"] is not None
+                and r["emin"] != r["emax"]
+            ):
+                enc_of[h] = (k, enc2)
+        if enc_of:
+            # COUNT-BALANCED sub-split points: per-group approx
+            # quantiles of the encoding (equal-width bucketing fails on
+            # clustered encodings — digit strings pile 90% of rows into
+            # the first stripe of the byte range). One job for ALL
+            # groups: a CASE expression selects each group's encoding.
+            kmax = max(k for k, _ in enc_of.values())
+            enc_case: Column | None = None
+            for h, (_, e) in enc_of.items():
+                enc_case = (
+                    F.when(leadd == F.lit(h), e)
+                    if enc_case is None
+                    else enc_case.when(leadd == F.lit(h), e)
+                )
+            probs = [i / kmax for i in range(1, kmax)]
+            qrows = (
+                df.filter(leadd.isin(list(enc_of)))
+                .groupBy(leadd.alias("__h"))
+                .agg(F.percentile_approx(enc_case, probs, 10000).alias("qs"))
+            ).collect()
+            for r in qrows:
+                h = float(r["__h"])
+                k, e = enc_of[h]
+                # keep ~k of the kmax-grid points (dedup handles
+                # encoding ties); membership below is `point < enc`,
+                # a pure function of the row once embedded
+                step = max(len(r["qs"]) // k, 1) if r["qs"] else 1
+                pts = sorted(set(r["qs"][::step] if r["qs"] else []))
+                if not pts:
+                    continue
+                arr = F.array(*[F.lit(p) for p in pts])
+                sub[h] = (
+                    len(pts) + 1,
+                    F.size(F.filter(arr, lambda p: p < e)) + 1,
+                )
+
+    # stratum: 2*(# hot values below) + 1 if ON a hot value — strictly
+    # interleaves hot-value strata with the open intervals between them
+    if hots:
+        hot_arr = F.array(*[F.lit(h) for h in hots])
+        key1 = F.size(F.filter(hot_arr, lambda h: h < leadd)) * 2 + F.when(
+            F.array_contains(hot_arr, leadd), 1
+        ).otherwise(0)
+    else:
+        key1 = F.lit(0)
+
+    # within-stratum bucket: quantile searchsorted for interval strata,
+    # second-key width_bucket for hot strata
+    if splits:
+        split_arr = F.array(*[F.lit(s) for s in splits])
+        key2 = F.size(F.filter(split_arr, lambda s: s < leadd))
+    else:
+        key2 = F.lit(0)
+    width = max([len(splits)] + [k for k, _ in sub.values()] + [1]) + 1
+    for h, (_, branch_expr) in sub.items():
+        key2 = F.when(leadd == F.lit(h), branch_expr).otherwise(key2)
+
+    return df.withColumn(
+        "__pid", (key1 * F.lit(width) + key2).cast("int")
+    )
 
 
 def _global_positions(

@@ -172,6 +172,84 @@ def test_running_totals_empty_input(spark):
     assert "cum_a" in out.columns
 
 
+# ---- bucket balance under heavy-tailed lead keys (ADVICE r4) ----
+
+
+def _max_bucket_frac(df, keys):
+    from museum_image_etl_gridfs_spark.operators.quantiles import (
+        _with_range_pid,
+    )
+
+    t = _with_range_pid(df, keys, 4)
+    sizes = [r["count"] for r in t.groupBy("__pid").count().collect()]
+    return max(sizes) / sum(sizes)
+
+
+def test_zipf_vocab_rank_is_balanced_and_exact(spark):
+    """The simjoin vocabulary shape: ~90% of tokens have document
+    frequency 1 (Zipf). Value-range bucketing put the whole df=1 mass
+    in ONE task; the hot-value sub-split must spread it by the token
+    string while keeping the produced rank the exact total order."""
+    rows = [(1, f"tok_{i:06d}") for i in range(1800)] + [
+        (2 + i % 40, f"hot_{i:04d}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "df long, tok string").repartition(8)
+    assert _max_bucket_frac(df, ["df", "tok"]) < 0.25
+    got = global_row_number(df, ["df", "tok"], out_col="rn")
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("df", "tok"))
+    )
+    cols = ["df", "tok", "rn"]
+    assert got.select(*cols).subtract(want.select(*cols)).count() == 0
+    assert want.select(*cols).subtract(got.select(*cols)).count() == 0
+
+
+def test_dominant_numeric_value_is_balanced_and_exact(spark):
+    """90% of rows share one lead value with a numeric tiebreaker —
+    the sub-split keys on the second column's double encoding."""
+    rows = [(5.0 if i % 10 else float(i), i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "v double, id long").repartition(8)
+    assert _max_bucket_frac(df, ["v", "id"]) < 0.25
+    _assert_matches(df, ["v", "id"], 10)
+
+
+def test_lognormal_tail_is_balanced(spark):
+    """Continuous skew (no single hot value): count-balanced quantile
+    split points must bound every bucket even when 99% of the VALUE
+    RANGE holds 1% of the rows."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    rows = [(math.exp(rng.gauss(0.0, 2.0)), i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "v double, id long").repartition(8)
+    assert _max_bucket_frac(df, ["v", "id"]) < 0.15
+
+
+def test_hot_value_without_second_key_stays_exact(spark):
+    """No tiebreaker -> the hot value cannot be sub-split; it must
+    degrade to one (documented) wide bucket, never to wrong totals."""
+    rows = [(7.0 if i % 4 else float(i % 13),) for i in range(200)]
+    df = spark.createDataFrame(rows, "v double").repartition(4)
+    got = running_totals(
+        df.withColumn("one", F.lit(1)), ["v"], ["one"]
+    )
+    # ranks within the tied value are arbitrary but the cumulative
+    # count at each distinct value boundary is order-determined
+    import collections
+
+    per_v = collections.Counter(r["v"] for r in df.collect())
+    boundary = {}
+    acc = 0
+    for v in sorted(per_v):
+        acc += per_v[v]
+        boundary[v] = acc
+    got_max = (
+        got.groupBy("v").agg(F.max("cum_one").alias("m")).collect()
+    )
+    assert {r["v"]: r["m"] for r in got_max} == boundary
+
+
 def test_running_totals_rejects_partial_nulls(spark):
     """ADVICE r3: a value column with SOME NULLs used to pass the
     bucket-sum NULL check but yield NULL running totals for rows
