@@ -1,6 +1,6 @@
 """Prefix-filtered exact set-similarity join (AllPairs / PPJoin
-family, Bayardo et al., WWW'07; Xiao et al., WWW'08 — public
-algorithms re-expressed as DataFrame ops).
+family — Bayardo et al., WWW'07; Xiao et al., WWW'08, incl. the §4
+suffix filter; public algorithms re-expressed as DataFrame ops).
 
 The third strategy in the near-dup toolbox, between the quadratic
 blocked matmul (operators/ann.py — exact, bounded by block size) and
@@ -15,24 +15,80 @@ and prefixes are short and start with rare tokens, which keeps the
 token-keyed candidate join sparse. Every candidate is then verified
 exactly, so the output is identical to the brute-force join.
 
+Physical shape (the Vernica et al., SIGMOD'10 trade-off, resolved
+for the replication-free side): exploded prefix rows stay SLIM — five
+scalars, never the token arrays — so the candidate self-join is pure
+whole-stage-codegen and its shuffle is bytes-per-occurrence. Pairs
+are deduped by a map-side-combinable ``min(struct(p, pos_a, pos_b))``
+group-by that also pins each pair's LOWEST-rank shared prefix token
+(the anchor where every filter bound is provably loosest), and the
+rank arrays are re-attached by two planner-chosen joins for the
+suffix filter + exact verification. The carry-arrays-through-the-join
+alternative was measured strictly worse here: array predicates inside
+a sort-merge join condition fall out of codegen and evaluate per
+EXAMINED pair (148 s vs 4 s at sf0.1).
+
 Scale shape: one vocabulary aggregate (map-side combined), a
 distributed total-order rank over it (range-bucket prefix-sum — never
 a single-task global sort; the vocabulary of a 100 TB corpus is
 itself a large table), a planner-chosen rank join (broadcast only
 when the vocab is actually small), one explode of short prefixes,
-one token-keyed self-join
-whose fan-out per token is bounded by that token's document
-frequency (the frequency ordering puts hot tokens OUT of prefixes),
-and one exact verification join on the pair key. No stage is
+one token-keyed self-join whose fan-out per token is bounded by that
+token's document frequency (the frequency ordering puts hot tokens
+OUT of prefixes), and exact verification of survivors. No stage is
 quadratic in the corpus.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .quantiles import global_row_number
+
+
+def _suffix_overlap_bound(
+    xs_rnk: Column, x_lo: Column, sx: Column, ys_rnk: Column, y_lo: Column
+) -> Column:
+    """Content-aware upper bound on the overlap of two rank-sorted
+    SUFFIXES — the PPJoin suffix filter (Xiao et al., WWW'08 §4) at
+    partition depth 1.
+
+    ``xs_rnk``/``ys_rnk`` are full ascending rank arrays; the suffixes
+    are positions ``> x_lo`` / ``> y_lo`` (0-based count of leading
+    elements excluded, all of which must rank BELOW every suffix
+    element of the other side — true at the pair's lowest shared
+    prefix token). ``sx`` is x's suffix size; y's is derived here; the
+    caller owns the empty-suffix guard.
+
+    Probe w = the MEDIAN rank of y's suffix, splitting it into
+    ``y_l`` elements below and ``y_r`` above. x's suffix splits at w
+    into ``x_l``/``x_r`` by counting ranks < w over the whole array
+    (every excluded leading element is < w by the caller's contract).
+    Matches cannot cross the split, so
+
+        overlap(x_suffix, y_suffix) ≤ min(x_l, y_l) + min(x_r, y_r)
+                                        + [w ∈ x_suffix]
+
+    — equivalently the Hamming-distance lower bound
+    ``H ≥ |x_l−y_l| + |x_r−y_r| + 1 − [w∈x]`` of the paper. Depth 1
+    only: recursing into the four halves needs positional slicing per
+    branch, doubling the expression tree per level for a second-order
+    candidate cut.
+    """
+    sy = F.size(ys_rnk) - y_lo  # caller guarantees > 0
+    w = F.element_at(ys_rnk, y_lo + F.floor(sy / 2).cast("int") + 1)
+    y_l = F.floor(sy / 2).cast("int")
+    y_r = sy - y_l - 1
+    lt_w = F.aggregate(
+        xs_rnk,
+        F.lit(0),
+        lambda acc, e: acc + F.when(e < w, 1).otherwise(0),
+    )
+    x_l = lt_w - x_lo
+    has_w = F.array_contains(xs_rnk, w).cast("int")
+    x_r = sx - x_l - has_w
+    return F.least(x_l, y_l) + F.least(x_r, y_r) + has_w
 
 
 def prefix_filter_jaccard_join(
@@ -48,9 +104,9 @@ def prefix_filter_jaccard_join(
     equal ``block_col`` when given (same contract as
     ``operators/ann.jaccard_pairs_blocked``).
 
-    Exact: the prefix filter only PRUNES candidates that provably
-    cannot reach the threshold; survivors are verified with exact
-    intersection arithmetic.
+    Exact: prefix, length, positional, and suffix filters only PRUNE
+    candidates that provably cannot reach the threshold; survivors
+    are verified with exact intersection arithmetic.
 
     NOT a pure lazy plan builder: the vocabulary rank runs through
     :func:`~..quantiles.global_row_number`, whose range-bucket
@@ -95,7 +151,7 @@ def prefix_filter_jaccard_join(
     )
     ordered = (
         with_rnk.groupBy("id", "blk", "n")
-        .agg(F.sort_array(F.collect_list(F.struct("rnk", "tok"))).alias("ord"))
+        .agg(F.sort_array(F.collect_list(F.col("rnk"))).alias("rnks"))
         .withColumn(
             "plen",
             # ceil over a DOWN-nudged product: binary t·n can land an
@@ -108,12 +164,12 @@ def prefix_filter_jaccard_join(
             - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
             + 1,
         )
-        .withColumn("prefix", F.expr("slice(ord.rnk, 1, plen)"))
+        .withColumn("prefix", F.expr("slice(rnks, 1, plen)"))
     )
 
     # candidate join on shared prefix tokens, plus two provable prunes
-    # evaluated inside the equi-join, BEFORE the distinct and the
-    # exact-verify stages (both use the same ulp down-nudge as plen:
+    # evaluated inside the equi-join, BEFORE the pair dedup and the
+    # suffix/verify stages (both use the same ulp down-nudge as plen:
     # undershooting only ADMITS extra candidates — still exact after
     # verification — never drops one):
     # - AllPairs LENGTH filter: Jaccard(x,y) <= min(|x|,|y|) /
@@ -124,10 +180,11 @@ def prefix_filter_jaccard_join(
     #   at 0-based set positions (i, j) bounds the overlap by
     #   1 + min(|a|-i-1, |b|-j-1) (only later-ranked tokens can still
     #   match). A TRUE pair always passes at its first (lowest-rank)
-    #   shared token — the bound is loosest there — so filtering each
-    #   occurrence and keeping pairs with ANY survivor is exact, while
-    #   deep-prefix-only collisions are dropped (measured -47%
-    #   occurrence rows into the distinct on the dense fixture).
+    #   shared token — every bound here and below is loosest there —
+    #   so filtering each occurrence and keeping pairs with ANY
+    #   survivor is exact, while deep-prefix-only collisions are
+    #   dropped (measured -47% occurrence rows into the dedup on the
+    #   dense fixture).
     tn = F.lit(threshold)
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
@@ -136,10 +193,21 @@ def prefix_filter_jaccard_join(
     ubound = 1 + F.least(
         F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
     )
+    # Pin the join's partition count: the exploded-prefix shuffle is
+    # bytes-per-occurrence (MBs even when the join OUTPUT is tens of
+    # millions of pairs), so AQE's size-based coalescing would fold
+    # the quadratic-output join and its map-side pair dedup into ONE
+    # task. User-specified repartition counts are exempt from AQE
+    # coalescing (measured 6.5 s -> 3.4 s at sf0.1).
+    spark = docs.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = spark.sparkContext.defaultParallelism
     sides = ordered.select(
         "id", "blk", "n", F.posexplode("prefix").alias("pos", "p")
-    )
-    cand = (
+    ).repartition(nparts, "blk", "p")
+    occ = (
         sides.alias("a")
         .join(
             sides.alias("b"),
@@ -150,16 +218,72 @@ def prefix_filter_jaccard_join(
             & (F.col("a.n") >= tn * F.col("b.n") - F.lit(1e-9))
             & (ubound >= alpha),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.struct(
+                F.col("a.p").alias("p"),
+                F.col("a.pos").alias("pa"),
+                F.col("b.pos").alias("pb"),
+            ).alias("o"),
+        )
+    )
+    # Pair dedup that KEEPS the anchor: min(struct(p, pos_a, pos_b))
+    # per pair is the occurrence at the pair's lowest-rank surviving
+    # shared prefix token — for a TRUE pair that is its globally first
+    # shared token (the positional filter never drops it there), the
+    # anchor at which the suffix filter below is provably safe. Same
+    # shuffle class as the distinct() it replaces (map-side partial
+    # min), three ints wider per pair.
+    # The repartition doubles as the dedup's distribution: grouping by
+    # (id_a, id_b) here would be a second shuffle of the full
+    # occurrence stream, so the partial min runs map-side in the join
+    # stage and only the combined partials move.
+    cand = (
+        occ.groupBy("id_a", "id_b")
+        .agg(F.min("o").alias("o"))
+        # spread the suffix-filter + exact-verify stage: the deduped
+        # pair stream is small in BYTES (AQE would coalesce it to 1-2
+        # tasks) but each row pays array work downstream
+        .repartition(nparts, "id_a")
     )
 
-    sets = ordered.select("id", F.col("ord.tok").alias("toks"), "n")
+    # Re-attach the rank arrays (planner-chosen joins; AQE broadcasts
+    # when a side is small) for the last two stages:
+    # - PPJoin SUFFIX filter (Xiao'08 §4) at the anchor: elements
+    #   before the anchor cannot match across the pair (all rank below
+    #   the shared token on both sides; a cross match would contradict
+    #   the anchor's minimality — argument valid for every TRUE pair),
+    #   so overlap(x, y) = 1 + overlap(x_suffix, y_suffix), bounded
+    #   content-aware by the median-split probe BEFORE the exact
+    #   intersect. For false pairs whose true first shared token was
+    #   positionally pruned the anchor sits deeper and the bound may
+    #   underestimate — harmless: those pairs fail exact verification
+    #   anyway; only never-pruning-true-pairs matters for exactness.
+    # - exact verification on the full rank arrays (longs — cheaper to
+    #   shuffle and intersect than the token strings).
+    sets = ordered.select("id", "rnks", "n")
+    sx = F.col("na") - F.col("o.pa") - 1
+    sy = F.col("nb") - F.col("o.pb") - 1
+    alpha2 = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+        - F.lit(1e-9)
+    )
+    o_max = F.when(F.least(sx, sy) <= 0, F.lit(1)).otherwise(
+        1
+        + _suffix_overlap_bound(
+            F.col("ra"),
+            F.col("o.pa") + 1,
+            sx,
+            F.col("rb"),
+            F.col("o.pb") + 1,
+        )
+    )
     verified = (
         cand.join(
             sets.select(
                 F.col("id").alias("id_a"),
-                F.col("toks").alias("ts_a"),
+                F.col("rnks").alias("ra"),
                 F.col("n").alias("na"),
             ),
             "id_a",
@@ -167,12 +291,13 @@ def prefix_filter_jaccard_join(
         .join(
             sets.select(
                 F.col("id").alias("id_b"),
-                F.col("toks").alias("ts_b"),
+                F.col("rnks").alias("rb"),
                 F.col("n").alias("nb"),
             ),
             "id_b",
         )
-        .withColumn("inter", F.size(F.array_intersect("ts_a", "ts_b")))
+        .filter(o_max >= alpha2)
+        .withColumn("inter", F.size(F.array_intersect("ra", "rb")))
         .withColumn(
             "jaccard",
             F.when(F.col("na") + F.col("nb") - F.col("inter") == 0, F.lit(0.0))

@@ -124,3 +124,59 @@ def test_plan_has_no_global_sort_or_forced_vocab_broadcast(spark):
     assert "Exchange SinglePartition" not in plan
     # result correctness is pinned by the exact-equivalence tests
     # above; here only the plan shape is under test
+
+
+@pytest.mark.parametrize("seed,t", [(4, 0.5), (5, 0.3), (6, 0.8)])
+def test_more_random_sets_match_brute_force(spark, seed, t):
+    """Extra randomized parity seeds added with the suffix-filter
+    rewrite — denser vocab, more injected near-dups."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(90):
+        n = rng.randint(1, 14)
+        rows.append((i, set(rng.sample(vocab, n)), rng.randint(0, 1)))
+    for i in range(60, 75):  # near-dup injections
+        base = set(rows[i][1])
+        base.add(f"x{i}")
+        rows.append((1000 + i, base, rows[i][2]))
+    df = spark.createDataFrame(
+        [(i, list(s), b) for i, s, b in rows], "id long, ts array<string>, blk int"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_join(
+            df, id_col="id", tokens_col="ts", threshold=t, block_col="blk"
+        ).collect()
+    }
+    assert got == _brute(rows, t)
+
+
+def test_suffix_filter_keeps_boundary_pairs(spark):
+    """Adversarial fixture for the suffix filter (Xiao'08 §4): pairs
+    whose overlap EQUALS the minimum required alpha — any
+    off-by-one in the median-split bound would drop them. Long-ish
+    sets so suffixes are non-trivial on both sides."""
+    rng = random.Random(42)
+    rows = []
+    for i in range(40):
+        n = rng.randint(20, 60)
+        rows.append((i, {f"t{rng.randint(0, 99)}" for _ in range(n)}, 0))
+    # exact-boundary pairs: y shares exactly ceil(t/(1+t)*(|x|+|y|))
+    # tokens with x at t=0.5 -> jaccard exactly 0.5 when |x| == |y|
+    for i in range(40, 50):
+        x = {f"b{i}_{j}" for j in range(30)}
+        y = {f"b{i}_{j}" for j in range(20)} | {f"c{i}_{j}" for j in range(10)}
+        rows.append((i * 10, x, 0))
+        rows.append((i * 10 + 1, y, 0))  # |x∩y|=20, |x∪y|=40 -> j=0.5
+    df = spark.createDataFrame(
+        [(i, list(s), b) for i, s, b in rows], "id long, ts array<string>, blk int"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_join(
+            df, id_col="id", tokens_col="ts", threshold=0.5, block_col="blk"
+        ).collect()
+    }
+    assert got == _brute(rows, 0.5)
+    assert all((i * 10, i * 10 + 1) in got for i in range(40, 50))
