@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lifecycle import release_df, tracked_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -35,20 +37,19 @@ def connected_components(
     """(vertex, component) for every vertex in ``edges``; component =
     min vertex id reachable. Raises if not converged within
     ``max_iterations`` (shallow graphs converge in a handful)."""
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+    sym = tracked_local_checkpoint(
         # every propagation round joins sym; without a checkpoint the
         # edge producer (e.g. a blocked-matmul similarity stage)
         # re-executes per round (measured 20 s -> ~6 s at sf0.1)
-        .localCheckpoint(eager=False)
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
     )
-    labels = (
+    labels = tracked_local_checkpoint(
         sym.select(F.col("u").alias("vertex"))
         .distinct()
-        .withColumn("label", F.col("vertex"))
-        .localCheckpoint()
+        .withColumn("label", F.col("vertex")),
+        eager=True,
     )
 
     for _ in range(max_iterations):
@@ -57,15 +58,15 @@ def connected_components(
             .groupBy(F.col("u").alias("vertex"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = tracked_local_checkpoint(
             labels.join(neighbor_min, "vertex", "left")
             .select(
                 "vertex",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint()  # truncate lineage every round
+            ),
+            eager=True,  # truncate lineage every round
         )
         changed = (
             new_labels.alias("n")
@@ -74,8 +75,13 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # round i's labels are dead once round i+1 is materialized —
+        # releasing here caps in-flight checkpoint storage at O(1)
+        # rounds instead of O(diameter)
+        release_df(labels)
         labels = new_labels
         if changed == 0:
+            release_df(sym)  # the returned labels no longer need sym
             return labels.select("vertex", F.col("label").alias("component"))
     raise RuntimeError(f"did not converge in {max_iterations} iterations")
 

@@ -40,6 +40,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .lifecycle import tracked_local_checkpoint
+
 
 def _monotone_double(df: DataFrame, key: str) -> Column | None:
     """A double-valued expression weakly monotone in ``key``'s order.
@@ -94,17 +96,6 @@ def _string_enc_col(key: str, skip: int) -> Column:
     )
 
 
-def _string_enc_py(s: str, skip: int) -> float:
-    """Driver-side twin of :func:`_string_enc_col` — bit-identical
-    (exact 48-bit words, one round-to-nearest add on both sides), so
-    min/max bounds computed from the group's min/max strings match the
-    executor-side expression exactly."""
-    b = s[skip : skip + 12].encode("utf-8")[:12].ljust(12, b"\0")
-    hi = int.from_bytes(b[:6], "big")
-    lo = int.from_bytes(b[6:], "big")
-    return float(hi * (1 << 48) + lo)
-
-
 def _with_range_pid(
     df: DataFrame, order_keys: Sequence[str], buckets_per_core: int
 ) -> DataFrame | None:
@@ -142,8 +133,10 @@ def _with_range_pid(
     # per-bucket partials, final join). A lazy checkpoint materializes
     # the upstream ONCE at the probe and pins its partitioning; without
     # it an expensive upstream (join + groupBy) re-executes per pass
-    # (measured 17.7 s -> 4 s on the Gini query at sf0.1).
-    df = df.localCheckpoint(eager=False)
+    # (measured 17.7 s -> 4 s on the Gini query at sf0.1). Tracked so
+    # lifecycle.release_checkpoints can reclaim the blocks once the
+    # caller has materialized its result.
+    df = tracked_local_checkpoint(df)
     # ONE probe job: guards + count-balanced split points together
     # (percentile_approx rides in the same aggregate — a separate
     # approxQuantile pass measurably showed up as per-call job-launch
@@ -309,9 +302,38 @@ def _with_range_pid(
     for h, (_, branch_expr) in sub.items():
         key2 = F.when(leadd == F.lit(h), branch_expr).otherwise(key2)
 
+    # long, not int: pid is O(2*nb^2) with nb = defaultParallelism *
+    # buckets_per_core — int32 would silently wrap around nb ~ 33k
+    # (plausible at extreme cluster parallelism) and corrupt bucket
+    # ordering in non-ANSI mode
     return df.withColumn(
-        "__pid", (key1 * F.lit(width) + key2).cast("int")
+        "__pid", (key1.cast("long") * F.lit(width) + key2).cast("long")
     )
+
+
+#: offsets up to this size are embedded as a literal map lookup —
+#: no broadcast exchange, no join node (and no surface for Catalyst's
+#: cross-side constraint pushdown, which miscompiles a join whose key
+#: is an alias of a higher-order-function expression when the
+#: checkpointed source carries ordering metadata, e.g. spark.range).
+#: Larger offset tables (extreme parallelism) fall back to a
+#: broadcast join: a multi-MB literal in the plan would break codegen.
+_MAP_MAX = 4096
+
+
+def _offset_lookup(offsets: dict[int, object], dt) -> Column | None:
+    """``element_at(<literal map>, __pid)`` when the offset table is
+    small enough to embed; None → caller uses the broadcast join."""
+    if len(offsets) > _MAP_MAX:
+        return None
+    entries = []
+    for p in sorted(offsets):
+        v = offsets[p]
+        entries.append(F.lit(int(p)).cast("long"))
+        entries.append(
+            F.lit(None).cast(dt) if v is None else F.lit(v).cast(dt)
+        )
+    return F.element_at(F.create_map(*entries), F.col("__pid"))
 
 
 def _global_positions(
@@ -331,14 +353,19 @@ def _global_positions(
     for pid in sorted(cnt):
         offsets[pid] = acc
         acc += cnt[pid]
-    off = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()],
-            "__pid int, __off long",
+    look = _offset_lookup(offsets, T.LongType())
+    if look is not None:
+        t = t.withColumn("__off", look)
+    else:
+        off = F.broadcast(
+            spark.createDataFrame(
+                [(int(p), int(o)) for p, o in offsets.items()],
+                "__pid long, __off long",
+            )
         )
-    )
+        t = t.join(off, "__pid")
     local = Window.partitionBy("__pid").orderBy(*order_keys)
-    pos = t.join(off, "__pid").withColumn(
+    pos = t.withColumn(
         "__gpos", F.col("__off") + F.row_number().over(local)
     )
     return pos, n
@@ -430,18 +457,32 @@ def running_totals(
             acc[c] = v if acc[c] is None else acc[c] + v
     # offsets carry the SUM's type (e.g. long for ints, widened
     # decimal) — never the narrower input type
-    from pyspark.sql.types import StructType
+    look_ok = len(rows) <= _MAP_MAX
+    if look_ok:
+        out = t
+        for ci, c in enumerate(value_cols):
+            out = out.withColumn(
+                f"__off_{c}",
+                _offset_lookup(
+                    {r[0]: r[1 + ci] for r in rows}, sum_types[f"__off_{c}"]
+                ),
+            )
+    else:
+        from pyspark.sql.types import StructType
 
-    off_schema = StructType(
-        [f for f in agg_df.schema.fields if not f.name.startswith("__nulls_")]
-    )
-    off = F.broadcast(spark.createDataFrame(rows, off_schema))
+        off_schema = StructType(
+            [
+                f
+                for f in agg_df.schema.fields
+                if not f.name.startswith("__nulls_")
+            ]
+        )
+        out = t.join(F.broadcast(spark.createDataFrame(rows, off_schema)), "__pid")
     local = (
         Window.partitionBy("__pid")
         .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = t.join(off, "__pid")
     for c in value_cols:
         dt = sum_types[f"__off_{c}"]
         out = out.withColumn(

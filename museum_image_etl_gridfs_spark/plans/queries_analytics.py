@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.lifecycle import tracked_local_checkpoint
 from ..operators.sketches import cms_heavy_hitters, tokens_of
 from ..operators.skyline import skyline
 from ..partitioning import spread
@@ -406,8 +407,9 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoints (eager=False) keep build()/plan-audit free of job
     # launches — materialization happens at the first real action.
     # (Audit caveat: the executed plan beyond the checkpoint shows as
-    # an ExistingRDD stub.)
-    ne = ne.localCheckpoint(eager=False)
+    # an ExistingRDD stub.) Tracked: lifecycle.release_checkpoints
+    # reclaims the per-iteration blocks after the caller materializes.
+    ne = tracked_local_checkpoint(ne)
     n_nodes = float(outw.count())
     ranks = outw.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr")
@@ -423,7 +425,8 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr")
             )
             .select(F.col("dst").alias("node"), "pr")
-        ).localCheckpoint(eager=False)
+        )
+        ranks = tracked_local_checkpoint(ranks)
     return ranks.select(
         F.col("node").alias("brand"), F.round("pr", 9).alias("pr")
     )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.lifecycle import tracked_local_checkpoint
 from .registry import query
 
 
@@ -598,12 +599,8 @@ def brand_edges(
     cond = (
         F.col("b1") != F.col("b2") if directed else F.col("b1") < F.col("b2")
     )
-    return (
-        a.join(b, "k")
-        .filter(cond)
-        .select("b1", "b2")
-        .distinct()
-        .localCheckpoint(eager=False)
+    return tracked_local_checkpoint(
+        a.join(b, "k").filter(cond).select("b1", "b2").distinct()
     )
 
 

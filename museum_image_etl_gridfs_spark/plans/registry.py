@@ -101,8 +101,11 @@ def _priority(q: Query) -> tuple[int, int]:
     - sentinels first — new-query waves can never crowd them out;
     - then ascending last-green-driver-round from the generated
       ``staleness.LAST_CHECKED`` table (``tools/gen_staleness.py``),
-      with never-checked (or red-last-round) queries at round 0, i.e.
-      ahead of everything previously green;
+      with never-GREEN queries at round 0, ahead of everything
+      previously green. (A red row does not advance a previously
+      green query's round: gen_staleness records only green rounds,
+      so the query keeps its older round and stays near the front —
+      the rotation self-corrects without a separate red state.);
     - registration order breaks ties (stable sort).
 
     With a 183-query registry and a 50-row budget this re-verifies

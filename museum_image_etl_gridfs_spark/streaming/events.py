@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import normalize_events_ts
+from ..operators.lifecycle import release_df, tracked_local_checkpoint
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,9 +501,9 @@ def run_foreach_batch_upsert(
             )
         else:
             merged = updates
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            target_path
-        )
+        snap = tracked_local_checkpoint(merged, eager=True)
+        snap.write.mode("overwrite").parquet(target_path)
+        release_df(snap)  # blocks are dead once the snapshot is on disk
 
     q = (
         stream.writeStream.foreachBatch(_apply)
