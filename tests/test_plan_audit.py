@@ -11,7 +11,7 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
 
-from plan_audit import EXPECTED_PYTHON, audit  # noqa: E402
+from plan_audit import EXPECTED_PYTHON, audit, read_committed  # noqa: E402
 
 
 def test_no_unexpected_python_nodes_anywhere(spark, sf_dir):
@@ -32,6 +32,34 @@ def test_no_unexpected_python_nodes_anywhere(spark, sf_dir):
         and not results[name]["python"]
     }
     assert stale == set(), f"whitelisted but Python-free now: {stale}"
+
+
+def test_plan_features_match_committed_audit(spark, sf_dir):
+    """The full plan-regression gate: every query's shuffle /
+    broadcast / scan / pushed-filter counts must equal the committed
+    PLAN_AUDIT.md row. A plan regression (or improvement) fails here
+    until `python tools/plan_audit.py --write` is deliberately re-run
+    and the new audit committed — plan drift is never silent.
+    """
+    committed = read_committed()
+    assert len(committed) >= 100, "PLAN_AUDIT.md missing or truncated"
+    live = audit(spark, sf_dir)
+    drift: dict[str, str] = {}
+    for name, row in live.items():
+        if "error" in row:
+            continue  # streaming-only builders — no batch plan
+        want = committed.get(name)
+        if want is None:
+            drift[name] = "not in PLAN_AUDIT.md (new query?)"
+            continue
+        for k in ("exchanges", "broadcasts", "scans", "pushed"):
+            if row[k] != want[k]:
+                drift.setdefault(name, "")
+                drift[name] += f" {k}: committed {want[k]} -> live {row[k]};"
+    assert drift == {}, (
+        "plan drift vs PLAN_AUDIT.md — if intended, regenerate with "
+        f"`python tools/plan_audit.py --write`: {drift}"
+    )
 
 
 def test_relational_flagships_are_shuffle_lean(spark, sf_dir):

@@ -1,16 +1,34 @@
-"""Per-query bench trend across rounds.
+"""Per-query bench + sweep trend across rounds AND scale factors.
 
-Reads every ``BENCH_r{N}.json`` the driver recorded (plus optional
-extra bench-output files passed as arguments), and prints one row per
-query with its time in each round and the delta of the latest round
-vs the previous one. The point is to catch a per-query regression
-that the headline total hides — one query doubling while another
-halves nets out invisible.
+Two report sections:
+
+1. **Bench trend** — reads every ``BENCH_r{N}.json`` the driver
+   recorded (plus optional extra bench-output files passed as
+   arguments), one row per query with its time in each round and the
+   delta of the latest round vs the previous one. Catches a per-query
+   regression that the headline total hides — one query doubling
+   while another halves nets out invisible.
+
+2. **Sweep scaling** — reads every ``SWEEP*_r{N}.json``
+   (``tools/check_correctness.py --out`` artifacts, which carry
+   per-query wall time and the fixture's ``sf_dir``). Diffs each
+   query across rounds at the same SF AND across SFs within the
+   latest rounds, flagging growth that is superlinear in the data
+   scale: a query is flagged when
+
+       t_big > max(t_small - OVERHEAD_S, FLOOR_S) * scale * SLACK
+       and t_big > MIN_FLAG_S
+
+   ``OVERHEAD_S`` discounts the fixed per-query Spark overhead
+   (session dispatch + DuckDB oracle) that dominates small-SF times;
+   ``SLACK`` allows n·log n shuffles and warm-up noise. This makes
+   the "still linear at 10×/100×" claim mechanical instead of prose.
 
 Usage:
     python tools/bench_trend.py [extra_bench.json ...]
 
-Exit status is always 0; this is a reporting tool, not a gate.
+Exit status is always 0; this is a reporting tool, not a gate
+(``tests/test_plan_audit.py`` is the gate for plan shape).
 """
 
 from __future__ import annotations
@@ -47,6 +65,101 @@ def _load(path: str) -> dict | None:
             except json.JSONDecodeError:
                 return None
     return None
+
+
+#: fixed per-query cost at tiny SF (session dispatch, DuckDB oracle,
+#: result normalization) — subtracted from the small-SF time before
+#: projecting linear growth, else every sub-second query looks
+#: "sublinear" and real compute growth hides under the overhead.
+OVERHEAD_S = 0.5
+#: lower clamp after the overhead discount, so a 0.51 s query does not
+#: project an absurd 0.01 s linear target.
+FLOOR_S = 0.2
+#: multiplicative allowance for n·log n terms, AQE re-planning, and
+#: warm-up noise on top of strictly linear growth.
+SLACK = 1.6
+#: never flag a query whose big-SF time is still below this — a 2 s
+#: absolute cost is not a scaling problem regardless of ratio.
+MIN_FLAG_S = 3.0
+
+
+def _sf_of(sweep: dict) -> float | None:
+    """Scale factor parsed from the sweep's fixture dir (…/sf0.01)."""
+    m = re.search(r"sf(\d+(?:\.\d+)?)/*$", (sweep.get("sf_dir") or "").rstrip("/"))
+    return float(m.group(1)) if m else None
+
+
+def _sweep_report(root: str) -> None:
+    sweeps: list[tuple[int, float, str, dict]] = []  # (round, sf, label, data)
+    for path in glob.glob(os.path.join(root, "SWEEP*_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        sf = _sf_of(data)
+        if m and sf is not None and isinstance(data.get("results"), dict):
+            sweeps.append((int(m.group(1)), sf, os.path.basename(path), data))
+    if not sweeps:
+        return
+    sweeps.sort(key=lambda t: (t[1], t[0]))  # columns: by SF, then round
+
+    names: list[str] = []
+    for _, _, _, data in sweeps:
+        for q in data["results"]:
+            if q not in names:
+                names.append(q)
+
+    def sec(data: dict, name: str) -> float | None:
+        row = data["results"].get(name)
+        return row.get("sec") if row and row.get("status") == "OK" else None
+
+    print("\n== sweep scaling (check_correctness per-query seconds) ==")
+    labels = [f"{lab}@sf{sf:g}" for _, sf, lab, _ in sweeps]
+    w = max(len(n) for n in names) + 2
+    print("query".ljust(w) + "".join(lab.rjust(22) for lab in labels))
+    flagged: list[str] = []
+    # latest sweep per SF drives the cross-SF superlinearity check
+    latest: dict[float, dict] = {}
+    for rnd, sf, _, data in sweeps:
+        cur = latest.get(sf)
+        if cur is None or rnd >= cur["round"]:
+            latest[sf] = {"round": rnd, "data": data}
+    sfs = sorted(latest)
+    for name in names:
+        cells = [
+            (f"{v:.2f}" if (v := sec(data, name)) is not None else "—").rjust(22)
+            for _, _, _, data in sweeps
+        ]
+        marks = []
+        for lo, hi in zip(sfs, sfs[1:]):
+            t_lo = sec(latest[lo]["data"], name)
+            t_hi = sec(latest[hi]["data"], name)
+            if t_lo is None or t_hi is None:
+                continue
+            scale = hi / lo
+            budget = max(t_lo - OVERHEAD_S, FLOOR_S) * scale * SLACK
+            if t_hi > budget and t_hi > MIN_FLAG_S:
+                marks.append(
+                    f"SUPERLINEAR sf{lo:g}->sf{hi:g}: {t_hi:.1f}s > "
+                    f"{budget:.1f}s budget ({scale:g}x data)"
+                )
+        if marks:
+            flagged.append(f"{name}: " + "; ".join(marks))
+        print(name.ljust(w) + "".join(cells) + ("   ⚠" if marks else ""))
+    failed = {
+        lab: data["failed"] for _, _, lab, data in sweeps if data.get("failed")
+    }
+    if failed:
+        print(f"sweep failures: {failed}")
+    if flagged:
+        print(f"\n{len(flagged)} queries grow superlinearly in data scale:")
+        for line in flagged:
+            print("  " + line)
+    else:
+        print("\nno superlinear growth across "
+              + " -> ".join(f"sf{s:g}" for s in sfs))
 
 
 def main(argv: list[str]) -> int:
@@ -101,6 +214,7 @@ def main(argv: list[str]) -> int:
     print("TOTAL".ljust(w) + "".join(cells))
     if any(errs):
         print("(!Nerr = total excludes N crashed queries that round)")
+    _sweep_report(root)
     return 0
 
 

@@ -106,6 +106,37 @@ def audit(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, dict]
     return results
 
 
+def read_committed(path: str | None = None) -> dict[str, dict]:
+    """Parse the committed ``PLAN_AUDIT.md`` back into audit rows —
+    the accepted plan contract that ``tests/test_plan_audit.py``
+    enforces. A plan change (new shuffle, lost broadcast, extra scan)
+    fails the gate until the audit is deliberately regenerated with
+    ``python tools/plan_audit.py --write`` and committed.
+    """
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PLAN_AUDIT.md",
+        )
+    rows: dict[str, dict] = {}
+    with open(path) as f:
+        for line in f:
+            m = re.match(
+                r"\| (\w+) \| (\d+) \| (.*?) \| (\d+) \| (\d+) \| (\d+) \|",
+                line,
+            )
+            if not m:
+                continue
+            name, exch, _py, scans, pushed, bcast = m.groups()
+            rows[name] = {
+                "exchanges": int(exch),
+                "scans": int(scans),
+                "pushed": int(pushed),
+                "broadcasts": int(bcast),
+            }
+    return rows
+
+
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
