@@ -1,0 +1,131 @@
+"""Exact duplicated-span detection (substring-level dedup).
+
+Document-level dedup (``operators/dedup.py``) misses the common
+web-corpus failure mode where *parts* of documents repeat — boilerplate
+headers, license blocks, quoted passages — while the documents as a
+whole differ. The published remedy is exact substring deduplication
+over the corpus-wide suffix array ("Deduplicating Training Data Makes
+Language Models Better", Lee et al., ACL 2022): find every substring
+of >= L tokens that occurs more than once in the corpus.
+
+A monolithic suffix array does not distribute; the standard
+shuffle-friendly equivalent (used here) detects the same spans through
+fixed-width token k-grams:
+
+1. inventory every k-gram occurrence ``(doc_id, pos, gram)`` — pure
+   JVM expressions (``transform``/``slice``/``posexplode``), no UDFs;
+2. a gram is *duplicated* iff it occurs >= 2 times corpus-wide
+   (map-side-combined groupBy on the gram's ``xxhash64``, then a
+   left-semi join back — AQE handles hot-gram skew on the join);
+3. per document, merge duplicated gram starts into maximal islands
+   (gap-and-islands over a ``doc_id`` window: a break when the next
+   duplicated start is > k away, so covered token ranges that overlap
+   or touch fuse into one span).
+
+Every substring of length >= k that repeats corpus-wide is covered by
+duplicated k-grams, so each such substring lies inside a reported
+span; conversely every reported span is a union of repeated k-grams.
+That is exactly the guarantee the suffix-array construction gives at
+granularity k.
+
+Scale shape (100 TB posture): the gram inventory is O(total tokens)
+rows but only (doc_id, pos, 64-bit hash) wide after hashing; it is
+shuffled twice (dup test, per-doc window) — both on keys with
+map-side reduction or natural doc locality. No driver materialization,
+no all-pairs anything; the hot-gram worst case (a stop-phrase
+occurring everywhere) costs one skewed join partition that AQE splits,
+not a cross product.
+
+Reference parity: the reference engine has no substring analytics at
+all (its only dedup is the whole-value pymongo ``$group``,
+``/root/reference/src/transform_load.py:48-50``); this module is part
+of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def norm_tokens(text: Column | str) -> Column:
+    """Whitespace tokens of lower(trim(text)) — the shared
+    normalization used by the dedup family (`fingerprint`)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+
+
+def gram_occurrences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """One row per token k-gram occurrence: (id, pos, gram).
+
+    ``pos`` is the 1-based token index of the gram's first token.
+    Documents shorter than ``k`` tokens contribute no rows. All
+    expression-level (sequence/slice/concat_ws under posexplode) —
+    stays inside whole-stage codegen until the explode.
+    """
+    toks = norm_tokens(text_col)
+    n = F.size(toks)
+    # sequence(1, n-k+1) is DESCENDING when n < k — guard to empty.
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+    out = df.select(F.col(id_col), F.posexplode(grams).alias("__i", "gram"))
+    return out.select(
+        id_col, (F.col("__i") + 1).cast("long").alias("pos"), "gram"
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated spans per document.
+
+    Returns (id, span_start, span_end) token ranges (1-based,
+    inclusive) such that every corpus-repeated substring of >= k
+    tokens is contained in some span. Only documents containing at
+    least one duplicated k-gram appear.
+
+    ``min_count``: minimum corpus-wide occurrence count (>= 2) for a
+    gram to count as duplicated; occurrences inside one document
+    count (a doc that repeats its own boilerplate dedups against
+    itself, matching the suffix-array semantics).
+    """
+    occ = gram_occurrences(df, id_col=id_col, text_col=text_col, k=k)
+    # shuffle-narrow: test duplication on the gram's 64-bit hash, not
+    # the string (collision risk 2^-64 per pair — the standard trade).
+    occ = occ.select(id_col, "pos", F.xxhash64("gram").alias("__gh"))
+    dup = (
+        occ.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__gh")
+    )
+    hits = occ.join(dup, "__gh", "left_semi").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    islands = hits.select(
+        id_col, "pos", F.sum(brk).over(w).alias("__island")
+    )
+    # grouping keys contain the window partition key -> no new exchange
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+    ).drop("__island")

@@ -132,3 +132,114 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comps = connected_components(pairs)
     return canonical_per_cluster(comps)
+
+
+#: exact duplicated-span parameters shared by query and oracle:
+#: 5-token grams — every repeated substring of >= 5 tokens is covered.
+_SPAN_K = 5
+
+#: DuckDB mirror of operators/spans.py::gram_occurrences +
+#: duplicated_spans — same normalization, same gap-and-islands merge.
+_SQL_SPANS = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS ts
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i AS pos, array_to_string(ts[i:i + {_SPAN_K - 1}], ' ') AS g
+        FROM toks, UNNEST(range(1, len(ts) - {_SPAN_K} + 2)) AS r(i)
+        WHERE len(ts) >= {_SPAN_K}
+    ),
+    dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+    hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (g)),
+    brks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER w <= {_SPAN_K}
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brks
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT)                 AS span_start,
+               CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end
+        FROM isl GROUP BY doc_id, island
+    )
+"""
+
+
+@query(
+    "duplicated_spans",
+    oracle=_SQL_SPANS
+    + """
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                          AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT)    AS dup_tokens,
+           CAST(MAX(span_end - span_start + 1) AS BIGINT)    AS max_span
+    FROM spans GROUP BY doc_id
+    """,
+    tags=("dedup", "substring", "extension"),
+)
+def duplicated_spans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup profile (Lee et al. ACL'22 semantics at
+    gram granularity): per document, the maximal spans covered by
+    corpus-repeated 5-token grams — span count, duplicated-token
+    mass, and longest span. The decision input for "trim the
+    boilerplate, keep the document"."""
+    from ..operators.spans import duplicated_spans
+
+    docs = load(spark, "documents", sf_dir)
+    spans = duplicated_spans(docs, k=_SPAN_K)
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(span_len).alias("dup_tokens"),
+        F.max(span_len).alias("max_span"),
+    )
+
+
+@query(
+    "dup_gram_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS ts
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, array_to_string(ts[i:i + {_SPAN_K - 1}], ' ') AS g
+        FROM toks, UNNEST(range(1, len(ts) - {_SPAN_K} + 2)) AS r(i)
+        WHERE len(ts) >= {_SPAN_K}
+    )
+    SELECT g AS gram,
+           CAST(COUNT(*) AS BIGINT)               AS occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM occ GROUP BY g HAVING COUNT(*) >= 2
+    ORDER BY occurrences DESC, gram LIMIT 20
+    """,
+    tags=("dedup", "substring", "extension"),
+)
+def dup_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest duplicated 5-grams corpus-wide (occurrences + doc
+    frequency) — the "what IS this boilerplate" companion to
+    duplicated_spans. Total order pinned by (occurrences DESC, gram)
+    before LIMIT so the top-20 is deterministic."""
+    from ..operators.spans import gram_occurrences
+
+    docs = load(spark, "documents", sf_dir)
+    occ = gram_occurrences(docs, k=_SPAN_K)
+    return (
+        occ.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("occurrences") >= 2)
+        .orderBy(F.desc("occurrences"), "gram")
+        .limit(20)
+    )

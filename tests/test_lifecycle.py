@@ -30,6 +30,15 @@ def _persistent_rdds(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+@pytest.fixture(autouse=True)
+def _drain(spark):
+    # earlier tests in the shared session may have left tracked
+    # checkpoints behind; every test here does `== base` arithmetic
+    # around bulk release_checkpoints, so start from a drained state.
+    release_checkpoints(spark)
+    yield
+
+
 def test_tracked_checkpoint_round_trip(spark):
     base = _persistent_rdds(spark)
     df = tracked_local_checkpoint(
