@@ -252,3 +252,54 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("long").alias("total_words"),
         )
     )
+
+
+#: DuckDB mirror of operators/sampling.py::wrs_key for doc_id, salt
+#: v1: fold the first 8 md5 hex digits of 'doc_id:wrs:v1' to a BIGINT
+#: (≡ Spark conv(...,16,10)), shift into (0,1), ln, divide by weight.
+_SQL_WRS_U32 = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(regexp_split_to_array("
+    "substr(md5(CAST(doc_id AS VARCHAR) || ':wrs:v1'), 1, 8), ''), "
+    "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+    "(h, c) -> h * 16 + c)"
+)
+
+
+@query(
+    "weighted_sample_by_source",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln(({_SQL_WRS_U32} + 0.5) / 4294967296.0)
+                   / CAST(n_chars + 1 AS DOUBLE) AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY k DESC, doc_id
+               ) AS INTEGER) AS wrs_rank
+        FROM keyed
+    )
+    SELECT doc_id, source, n_chars, wrs_rank
+    FROM ranked WHERE wrs_rank <= 5
+    """,
+    tags=("sampling", "extension"),
+)
+def weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional reservoir sample, 5 docs per source,
+    weighted by document length (n_chars + 1) — Efraimidis–Spirakis
+    A-ES with a hash-derived uniform, so the sample is a pure
+    function of the data: order-, partitioning-, and seed-free
+    (operators/sampling.py)."""
+    from ..operators.sampling import weighted_reservoir_sample
+
+    docs = load(spark, "documents", sf_dir)
+    return weighted_reservoir_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        id_col="doc_id",
+        group_col="source",
+        weight=F.col("n_chars") + F.lit(1),
+        n=5,
+    )
