@@ -55,6 +55,8 @@ HEAVY = (
     "pmi_collocations",
     "brand_triangle_stats",
     "near_dup_components_exact",
+    # round-6 substring-dedup operator (full 5-gram inventory pass)
+    "duplicated_spans",
 )
 
 

@@ -36,6 +36,25 @@ no all-pairs anything; the hot-gram worst case (a stop-phrase
 occurring everywhere) costs one skewed join partition that AQE splits,
 not a cross product.
 
+Two rejected alternatives, measured at sf0.1/local[32]:
+
+- ``count(*) over (partition by gram_hash)`` instead of
+  groupBy+semi-join — 4.5-5.0 s vs 7.0-7.4 s here (one scan instead
+  of two), but it shuffles the ENTIRE occurrence inventory by gram
+  hash and parks every occurrence of a hot gram in ONE window
+  partition, which AQE cannot split (skew handling covers joins and
+  post-shuffle coalescing, not window partitions). A web-corpus
+  stop-phrase with 1e9 occurrences = a guaranteed straggler/OOM at
+  100 TB. The groupBy path ships only map-side-combined partial
+  counts and lets AQE manage the join; the price is re-scanning the
+  column-pruned (id, text) projection — linear, spill-free, and the
+  scan is the cheap resource at cluster scale.
+- hashing the token-array slice directly (``xxhash64(slice(toks))``,
+  skipping the gram string build) — 13.7-24 s, 2x SLOWER: Catalyst's
+  array hashing walks elements with per-element dispatch and
+  allocates a slice per gram; ``concat_ws`` + string xxhash64 is the
+  fast path.
+
 Reference parity: the reference engine has no substring analytics at
 all (its only dedup is the whole-value pymongo ``$group``,
 ``/root/reference/src/transform_load.py:48-50``); this module is part
