@@ -98,6 +98,7 @@ def prefix_filter_jaccard_join(
     tokens_col: str,
     threshold: float,
     block_col: str | None = None,
+    new_col: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for every pair with exact token-set
     Jaccard ≥ ``threshold`` (``id_a < id_b``); pairs are restricted to
@@ -107,6 +108,27 @@ def prefix_filter_jaccard_join(
     Exact: prefix, length, positional, and suffix filters only PRUNE
     candidates that provably cannot reach the threshold; survivors
     are verified with exact intersection arithmetic.
+
+    ``new_col`` (boolean column) switches on INCREMENTAL mode — the
+    "dedup today's batch against the standing corpus" question: only
+    pairs with at least one NEW member are returned (new x new and
+    new x old; the old corpus is never re-paired with itself), and
+    the result equals the full join filtered to those pairs. Two
+    plan-level consequences, not just a post-filter:
+
+    - old x old candidate pairs are rejected INSIDE the equi-join,
+      before the pair dedup shuffle;
+    - the whole prefix-occurrence stream is pre-pruned by a left-semi
+      join against the NEW rows' (block, prefix-token) set — every
+      qualifying pair shares a prefix token with a new row, so old
+      occurrences outside that set provably join nothing. With a
+      small batch against a 100 TB corpus this is the dominant win:
+      the semi join broadcasts the batch's token set and the corpus'
+      occurrence stream is filtered map-side, never shuffled.
+
+    The vocabulary rank stays corpus-wide (union), so hot corpus
+    tokens stay out of prefixes regardless of which side they are
+    frequent in; any consistent total order keeps the filter exact.
 
     NOT a pure lazy plan builder: the vocabulary rank runs through
     :func:`~..quantiles.global_row_number`, whose range-bucket
@@ -118,11 +140,14 @@ def prefix_filter_jaccard_join(
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
     blk = F.col(block_col) if block_col else F.lit(0)
-    base = docs.select(
+    base_cols = [
         F.col(id_col).alias("id"),
         F.array_distinct(F.col(tokens_col)).alias("ts"),
         blk.alias("blk"),
-    )
+    ]
+    if new_col:
+        base_cols.append(F.col(new_col).cast("boolean").alias("is_new"))
+    base = docs.select(*base_cols)
 
     # global document frequency per token -> rarest-first total order
     # (df, token) so ordering is deterministic across runs/engines.
@@ -144,13 +169,16 @@ def prefix_filter_jaccard_join(
     )
 
     # order each set rarest-first and keep the prefix
+    keys = ["id", "blk", "n"] + (["is_new"] if new_col else [])
     with_rnk = (
-        base.select("id", "blk", F.size("ts").alias("n"), "ts")
+        base.select("id", "blk", F.size("ts").alias("n"), "ts", *(
+            ["is_new"] if new_col else []
+        ))
         .withColumn("tok", F.explode("ts"))
         .join(ranked, "tok")
     )
     ordered = (
-        with_rnk.groupBy("id", "blk", "n")
+        with_rnk.groupBy(*keys)
         .agg(F.sort_array(F.collect_list(F.col("rnk"))).alias("rnks"))
         .withColumn(
             "plen",
@@ -205,19 +233,35 @@ def prefix_filter_jaccard_join(
     except (TypeError, ValueError):
         nparts = spark.sparkContext.defaultParallelism
     sides = ordered.select(
-        "id", "blk", "n", F.posexplode("prefix").alias("pos", "p")
-    ).repartition(nparts, "blk", "p")
+        "id",
+        "blk",
+        "n",
+        F.posexplode("prefix").alias("pos", "p"),
+        *(["is_new"] if new_col else []),
+    )
+    if new_col:
+        # incremental prune: a qualifying pair has >= 1 new member, so
+        # its shared prefix token is in some NEW row's prefix — old
+        # occurrences outside the new (blk, p) set join nothing. The
+        # semi join is planner-chosen: a small batch's token set
+        # broadcasts and the corpus stream is filtered map-side.
+        new_toks = sides.filter(F.col("is_new")).select("blk", "p").distinct()
+        sides = sides.join(new_toks, ["blk", "p"], "left_semi")
+    sides = sides.repartition(nparts, "blk", "p")
+    pair_cond = (
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p") == F.col("b.p"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("b.n") >= tn * F.col("a.n") - F.lit(1e-9))
+        & (F.col("a.n") >= tn * F.col("b.n") - F.lit(1e-9))
+        & (ubound >= alpha)
+    )
+    if new_col:
+        # old x old pairs rejected inside the join, before the dedup
+        pair_cond = pair_cond & (F.col("a.is_new") | F.col("b.is_new"))
     occ = (
         sides.alias("a")
-        .join(
-            sides.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p") == F.col("b.p"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.n") >= tn * F.col("a.n") - F.lit(1e-9))
-            & (F.col("a.n") >= tn * F.col("b.n") - F.lit(1e-9))
-            & (ubound >= alpha),
-        )
+        .join(sides.alias("b"), pair_cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -1344,6 +1344,61 @@ def prefix_join_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_near_dups",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, (doc_id % 10 = 0) AS is_new,
+               list_distinct(regexp_split_to_array(
+                   trim(lower(coalesce(text,''))), '\\s+')) AS ts
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.ts, b.ts))) = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE len(list_intersect(a.ts, b.ts))
+                     / len(list_distinct(list_concat(a.ts, b.ts))) END
+               AS jaccard
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+         AND (a.is_new OR b.is_new)
+    WHERE len(list_intersect(a.ts, b.ts))
+          / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5
+    """,
+    tags=("dedup", "similarity", "prefix-filter", "incremental"),
+)
+def incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup join: exact Jaccard >= 0.5 pairs with at
+    least one member in the NEW batch (here the deterministic
+    doc_id % 10 == 0 slice standing in for "today's crawl") — the
+    standing corpus is never re-paired with itself. Same prefix-filter
+    machinery as ``prefix_join_near_dups`` plus two incremental
+    prunes (operators/simjoin.py ``new_col``): old x old candidates
+    rejected inside the equi-join, and the corpus' prefix-occurrence
+    stream pre-filtered by a semi join against the batch's
+    (block, prefix-token) set — the batch side broadcasts, so at
+    100 TB the corpus inventory is filtered map-side, never
+    shuffled."""
+    from ..operators.simjoin import prefix_filter_jaccard_join
+
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        ).alias("ts"),
+    )
+    return prefix_filter_jaccard_join(
+        toks,
+        id_col="doc_id",
+        tokens_col="ts",
+        threshold=0.5,
+        block_col="source",
+        new_col="is_new",
+    )
+
+
+@query(
     "brand_triangle_stats",
     oracle="""
     WITH bp AS (
