@@ -140,10 +140,18 @@ def _sweep_report(root: str) -> None:
                 continue
             scale = hi / lo
             budget = max(t_lo - OVERHEAD_S, FLOOR_S) * scale * SLACK
-            if t_hi > budget and t_hi > MIN_FLAG_S:
+            # two independent conditions must BOTH trip: the
+            # overhead-discounted budget (catches quadratic growth
+            # hiding under a tiny, fixed-cost-dominated t_lo) AND the
+            # raw ratio exceeding the data ratio (a query whose total
+            # time grew by LESS than the data grew is linear by
+            # definition — the discount alone mis-flags sub-second
+            # baselines where per-query fixed costs exceed OVERHEAD_S).
+            if t_hi > budget and t_hi > MIN_FLAG_S and t_hi / t_lo > scale:
                 marks.append(
                     f"SUPERLINEAR sf{lo:g}->sf{hi:g}: {t_hi:.1f}s > "
-                    f"{budget:.1f}s budget ({scale:g}x data)"
+                    f"{budget:.1f}s budget, ratio {t_hi / t_lo:.0f}x > "
+                    f"{scale:g}x data"
                 )
         if marks:
             flagged.append(f"{name}: " + "; ".join(marks))
