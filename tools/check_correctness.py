@@ -92,10 +92,21 @@ def main() -> int:
             results[name] = {"status": "SPARK_ERROR", "error": str(e)[:500]}
             print(f"[FAIL-spark] {name}: {str(e)[:300]}")
             continue
+        # engine time vs oracle time recorded separately: the scaling
+        # gate (tools/bench_trend.py) judges the SPARK side; several
+        # oracles are documented quadratic (pareto NOT-EXISTS, pair
+        # joins) and would otherwise dominate "sec" at large SF.
+        spark_sec = round(time.time() - t0, 2)
         if q.oracle is None:
-            results[name] = {"status": "ROWS_ONLY", "rows": len(sdf), "sec": round(time.time() - t0, 2)}
+            results[name] = {
+                "status": "ROWS_ONLY",
+                "rows": len(sdf),
+                "sec": spark_sec,
+                "spark_sec": spark_sec,
+            }
             print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
+        t_o = time.time()
         try:
             odf = con.execute(q.oracle).df()
         except Exception as e:  # noqa: BLE001
@@ -120,7 +131,13 @@ def main() -> int:
             diff = s_n.compare(o_n) if s_n.shape == o_n.shape else None
             if diff is not None and not diff.empty:
                 print(diff.head(10))
-        results[name] = {"status": status, "rows": len(s_n), "sec": round(time.time() - t0, 2)}
+        results[name] = {
+            "status": status,
+            "rows": len(s_n),
+            "sec": round(time.time() - t0, 2),
+            "spark_sec": spark_sec,
+            "oracle_sec": round(time.time() - t_o, 2),
+        }
         if status != "OK":
             failures.append(name)
             print(f"[FAIL] {name}: {status}")
