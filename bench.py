@@ -23,6 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from museum_image_etl_gridfs_spark.operators.lifecycle import release_checkpoints
 from museum_image_etl_gridfs_spark.plans import all_queries
 from museum_image_etl_gridfs_spark.session import get_spark
 
@@ -103,6 +104,7 @@ def main() -> None:
             # don't mask a broken query here — it will be reported as
             # {"err": ...} by the timed loop, but log it for operators
             print(f"[bench] warm-up failed for {name}: {exc!r}", file=sys.stderr)
+    release_checkpoints(spark)
 
     # best-of-N per query, reps INTERLEAVED round-robin (rep 1 of every
     # query, then rep 2 of every query, ...): the host shows transient
@@ -137,6 +139,10 @@ def main() -> None:
                 errors[name] = repr(exc)[:200]
                 timings.pop(name, None)
                 print(f"[bench] {name} FAILED: {exc!r}", file=sys.stderr)
+            # free any localCheckpoint blocks the query pinned —
+            # outside the timed window, so storage cannot accumulate
+            # across the reps x queries loop (operators/lifecycle.py)
+            release_checkpoints(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     wall = time.perf_counter() - wall0

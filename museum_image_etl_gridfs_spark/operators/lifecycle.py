@@ -43,10 +43,14 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-#: (session key, rdd id, JVM RDD handle) for every live tracked
+#: (token, session key, rdd id, JVM RDD handle) for every live tracked
 #: checkpoint, in creation order. Module-level: the registry must
 #: outlive any one operator call, and a process hosts few sessions.
-_TRACKED: list[tuple[int, int, object]] = []
+#: ``token`` is a monotonically increasing creation stamp —
+#: :func:`checkpoint_scope` compares tokens, not ``id()``s, because
+#: CPython reuses freed object ids within a scope.
+_TRACKED: list[tuple[int, int, int, object]] = []
+_NEXT_TOKEN = 0
 
 
 def _session_key(df_or_spark) -> int:
@@ -69,10 +73,24 @@ def tracked_local_checkpoint(df: DataFrame, *, eager: bool = False) -> DataFrame
     """``df.localCheckpoint(eager=eager)`` + registry entry so the
     blocks can be released by :func:`release_checkpoints` /
     :func:`checkpoint_scope` once the caller is done with the result.
+
+    The registry deliberately holds a STRONG py4j handle: the entry
+    must stay releasable even after the caller drops its Python
+    DataFrame (the JVM blocks outlive the wrapper). The trade is that
+    ContextCleaner's GC-driven unpersist cannot reclaim a tracked
+    checkpoint — so every long-lived production loop over queries
+    (bench.py, tools/check_correctness.py) calls
+    :func:`release_checkpoints` between queries; a weakref registry
+    was considered and rejected because an entry untracked at wrapper
+    death is exactly the entry ``release_checkpoints`` was about to
+    free (tests/test_lifecycle.py pins the storage-returns-to-baseline
+    contract).
     """
+    global _NEXT_TOKEN
     out = df.localCheckpoint(eager=eager)
     jrdd = _checkpoint_rdd(out)
-    _TRACKED.append((_session_key(out), jrdd.id(), jrdd))
+    token = _NEXT_TOKEN = _NEXT_TOKEN + 1
+    _TRACKED.append((token, _session_key(out), jrdd.id(), jrdd))
     return out
 
 
@@ -85,7 +103,7 @@ def release_df(df: DataFrame) -> bool:
         rid = _checkpoint_rdd(df).id()
     except Exception:
         return False
-    for i, (_, tracked_id, jrdd) in enumerate(_TRACKED):
+    for i, (_, _, tracked_id, jrdd) in enumerate(_TRACKED):
         if tracked_id == rid:
             jrdd.unpersist(False)
             del _TRACKED[i]
@@ -99,14 +117,14 @@ def release_checkpoints(spark=None) -> int:
     Call after materializing query results; see module contract.
     """
     key = None if spark is None else _session_key(spark)
-    kept: list[tuple[int, int, object]] = []
+    kept: list[tuple[int, int, int, object]] = []
     released = 0
     for entry in _TRACKED:
-        if key is not None and entry[0] != key:
+        if key is not None and entry[1] != key:
             kept.append(entry)
             continue
         try:
-            entry[2].unpersist(False)
+            entry[3].unpersist(False)
         except Exception:
             pass  # session already stopped — blocks died with it
         released += 1
@@ -119,28 +137,33 @@ def tracked_count(spark=None) -> int:
     if spark is None:
         return len(_TRACKED)
     key = _session_key(spark)
-    return sum(1 for e in _TRACKED if e[0] == key)
+    return sum(1 for e in _TRACKED if e[1] == key)
 
 
 @contextmanager
 def checkpoint_scope(spark=None) -> Iterator[None]:
     """Release, on exit, exactly the checkpoints created inside the
     block (for ``spark``'s session if given). Results derived from
-    them must be materialized before the block ends."""
-    before = {id(e) for e in _TRACKED}
+    them must be materialized before the block ends.
+
+    Scope membership is decided by creation token, not object
+    identity: an id()-based snapshot breaks when CPython reuses a
+    freed entry's id for one created inside the block.
+    """
+    high_water = _NEXT_TOKEN
     try:
         yield
     finally:
         key = None if spark is None else _session_key(spark)
         kept, to_release = [], []
         for e in _TRACKED:
-            if id(e) not in before and (key is None or e[0] == key):
+            if e[0] > high_water and (key is None or e[1] == key):
                 to_release.append(e)
             else:
                 kept.append(e)
         for e in to_release:
             try:
-                e[2].unpersist(False)
+                e[3].unpersist(False)
             except Exception:
                 pass
         _TRACKED[:] = kept

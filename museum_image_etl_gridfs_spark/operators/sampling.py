@@ -41,8 +41,11 @@ def wrs_key(id_col: Column | str, weight: Column | str, *, salt: str = "v1") -> 
 
     u = (first-8-hex(md5(id || ':wrs:' || salt)) + 0.5) / 2^32 — the
     +0.5 keeps u strictly inside (0,1) so ln(u) is finite. Larger key
-    = more likely sampled; w must be strictly positive (caller's
-    contract — clamp before passing).
+    = more likely sampled. Non-positive weights yield NULL: a negative
+    w would flip ln(u)/w positive and outrank every valid row, and
+    w = 0 yields -Infinity — both are caller bugs, so such rows sort
+    LAST under the descending window order (Spark's DESC default is
+    NULLS LAST) instead of silently winning the reservoir.
     """
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     w = F.col(weight) if isinstance(weight, str) else weight
@@ -52,7 +55,8 @@ def wrs_key(id_col: Column | str, weight: Column | str, *, salt: str = "v1") -> 
         10,
     ).cast("long")
     u = (v + F.lit(0.5)) / F.lit(_U_DENOM)
-    return F.log(u) / w.cast("double")
+    wd = w.cast("double")
+    return F.when(wd > 0, F.log(u) / wd)
 
 
 def weighted_reservoir_sample(
@@ -70,7 +74,7 @@ def weighted_reservoir_sample(
     the float key itself is dropped so downstream comparisons stay
     exact."""
     key = wrs_key(id_col, weight, salt=salt)
-    w = Window.partitionBy(group_col).orderBy(key.desc(), id_col)
+    w = Window.partitionBy(group_col).orderBy(key.desc_nulls_last(), id_col)
     return (
         df.withColumn("wrs_rank", F.row_number().over(w))
         .filter(F.col("wrs_rank") <= n)

@@ -106,16 +106,22 @@ def _priority(q: Query) -> tuple[int, int]:
       green query's round: gen_staleness records only green rounds,
       so the query keeps its older round and stays near the front —
       the rotation self-corrects without a separate red state.);
+    - oracle-less queries LAST: the driver can only ever emit
+      ``err: no_oracle`` for them (it cannot hash-check a query with
+      no DuckDB SQL), so a prefix slot spent on one is wasted — they
+      are verified by full-result goldens (``tests/test_goldens.py``)
+      and rows-only sweeps instead;
     - registration order breaks ties (stable sort).
 
-    With a 183-query registry and a 50-row budget this re-verifies
-    every query at least once every ~4 rounds, so no driver row ages
-    indefinitely (round 4's max age was 3; the rotation keeps it
-    there).
+    With a ~190-query registry and a 50-row budget this re-verifies
+    every oracle-checkable query at least once every ~4 rounds, so no
+    driver row ages indefinitely (round 4's max age was 3; the
+    rotation keeps it there).
     """
     if q.name in _SENTINELS:
-        return (-1, 0)
-    return (LAST_CHECKED.get(q.name, 0), 0)
+        return (0, -1, 0)
+    no_oracle = 1 if q.oracle is None else 0
+    return (no_oracle, LAST_CHECKED.get(q.name, 0), 0)
 
 
 def all_queries() -> dict[str, Query]:

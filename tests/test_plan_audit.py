@@ -56,6 +56,13 @@ def test_plan_features_match_committed_audit(spark, sf_dir):
             if row[k] != want[k]:
                 drift.setdefault(name, "")
                 drift[name] += f" {k}: committed {want[k]} -> live {row[k]};"
+    # the gate is bidirectional: a committed row whose query was
+    # deleted/renamed must not linger (stale rows read as coverage).
+    # live rows with "error" are streaming-only builders — their
+    # committed rows are the error-marker lines read_committed skips,
+    # so set(live) here is the full registry either way.
+    for name in set(committed) - set(live):
+        drift[name] = "in PLAN_AUDIT.md but not in the registry (deleted query?)"
     assert drift == {}, (
         "plan drift vs PLAN_AUDIT.md — if intended, regenerate with "
         f"`python tools/plan_audit.py --write`: {drift}"

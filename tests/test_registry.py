@@ -22,9 +22,12 @@ def test_registry_nonempty_and_named():
 
 
 def test_driver_prefix_rotates_stalest_first():
-    """The driver verifies a 50-row prefix: sentinels must lead, and
-    the rest must be ordered by ascending last-green driver round so
-    no query's CORRECTNESS row ages indefinitely."""
+    """The driver verifies a 50-row prefix: sentinels must lead,
+    oracle-checkable queries must be ordered by ascending last-green
+    driver round so no CORRECTNESS row ages indefinitely, and
+    oracle-less queries must sort LAST — the driver can only ever
+    emit ``err: no_oracle`` for them, so a prefix slot spent on one
+    is wasted (they are golden-pinned + rows-only-swept instead)."""
     from museum_image_etl_gridfs_spark.plans.registry import _SENTINELS
     from museum_image_etl_gridfs_spark.plans.staleness import LAST_CHECKED
 
@@ -32,12 +35,16 @@ def test_driver_prefix_rotates_stalest_first():
     assert names[: len(_SENTINELS)] == list(_SENTINELS) or set(
         names[: len(_SENTINELS)]
     ) == set(_SENTINELS)
-    rounds = [LAST_CHECKED.get(n, 0) for n in names[len(_SENTINELS):]]
+    tail = names[len(_SENTINELS):]
+    with_oracle = [n for n in tail if QUERIES[n].oracle is not None]
+    no_oracle = [n for n in tail if QUERIES[n].oracle is None]
+    # every oracle-less query sits behind every oracle-checkable one
+    assert tail == with_oracle + no_oracle
+    rounds = [LAST_CHECKED.get(n, 0) for n in with_oracle]
     assert rounds == sorted(rounds)
-    # every registered query has a staleness entry once it has ever
-    # been driver-green; brand-new queries (round 0) must sort first
-    new = [n for n in names[len(_SENTINELS):] if n not in LAST_CHECKED]
-    assert names[len(_SENTINELS) : len(_SENTINELS) + len(new)] == new
+    # brand-new oracle-checkable queries (round 0) must sort first
+    new = [n for n in with_oracle if n not in LAST_CHECKED]
+    assert with_oracle[: len(new)] == new
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -111,15 +111,34 @@ def _sweep_report(root: str) -> None:
             if q not in names:
                 names.append(q)
 
-    def sec(data: dict, name: str) -> float | None:
-        # prefer the engine-only time when the sweep recorded it —
-        # several DuckDB oracles are documented quadratic (pareto
-        # NOT-EXISTS, pair joins) and would dominate the total at
-        # large SF, flagging the oracle's scaling, not the engine's.
+    #: row statuses whose timing is meaningful for scaling analysis —
+    #: COUNT_OK (exact count compare, values hash-pinned at sf0.01)
+    #: and SPARK_ONLY_OK (oracle intractable at this SF) are exactly
+    #: the heaviest pair-join queries; excluding them left the gate
+    #: blind to the rows where a scaling regression matters most
+    #: (round 6: prefix_join_near_dups at sf1 sat outside the gate).
+    _GREEN = {"OK", "COUNT_OK", "SPARK_ONLY_OK", "ROWS_ONLY"}
+
+    def engine_sec(data: dict, name: str) -> float | None:
+        """Engine-only seconds — the ONLY timing the scaling gate may
+        compare. No fallback to the combined ``sec``: mixing an
+        engine+oracle total from an old artifact with an engine-only
+        time from a new one lets a quadratic DuckDB oracle fake (or
+        mask) an engine scaling flag."""
         row = data["results"].get(name)
-        if not row or row.get("status") != "OK":
+        if not row or row.get("status") not in _GREEN:
             return None
-        return row.get("spark_sec", row.get("sec"))
+        return row.get("spark_sec")
+
+    def display_sec(data: dict, name: str) -> tuple[float, bool] | None:
+        """(seconds, is_engine_only) for the table; totals lacking the
+        split are shown but marked with '*' and excluded from the gate."""
+        row = data["results"].get(name)
+        if not row or row.get("status") not in _GREEN:
+            return None
+        if row.get("spark_sec") is not None:
+            return (row["spark_sec"], True)
+        return (row["sec"], False) if row.get("sec") is not None else None
 
     print("\n== sweep scaling (check_correctness per-query seconds) ==")
     labels = [f"{lab}@sf{sf:g}" for _, sf, lab, _ in sweeps]
@@ -133,15 +152,21 @@ def _sweep_report(root: str) -> None:
         if cur is None or rnd >= cur["round"]:
             latest[sf] = {"round": rnd, "data": data}
     sfs = sorted(latest)
+    saw_unsplit = False
     for name in names:
-        cells = [
-            (f"{v:.2f}" if (v := sec(data, name)) is not None else "—").rjust(22)
-            for _, _, _, data in sweeps
-        ]
+        cells = []
+        for _, _, _, data in sweeps:
+            d = display_sec(data, name)
+            if d is None:
+                cells.append("—".rjust(22))
+            else:
+                v, engine_only = d
+                saw_unsplit |= not engine_only
+                cells.append((f"{v:.2f}" + ("" if engine_only else "*")).rjust(22))
         marks = []
         for lo, hi in zip(sfs, sfs[1:]):
-            t_lo = sec(latest[lo]["data"], name)
-            t_hi = sec(latest[hi]["data"], name)
+            t_lo = engine_sec(latest[lo]["data"], name)
+            t_hi = engine_sec(latest[hi]["data"], name)
             if t_lo is None or t_hi is None:
                 continue
             scale = hi / lo
@@ -175,13 +200,17 @@ def _sweep_report(root: str) -> None:
     }
     if failed:
         print(f"sweep failures: {failed}")
+    if saw_unsplit:
+        print("(* = engine+oracle total from a pre-split artifact; "
+              "shown for history, EXCLUDED from the scaling gate)")
     if flagged:
         print(f"\n{len(flagged)} queries grow superlinearly in data scale:")
         for line in flagged:
             print("  " + line)
     else:
         print("\nno superlinear growth across "
-              + " -> ".join(f"sf{s:g}" for s in sfs))
+              + " -> ".join(f"sf{s:g}" for s in sfs)
+              + " (engine-side time, all green-status rows with a split)")
 
 
 def main(argv: list[str]) -> int:

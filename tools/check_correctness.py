@@ -25,8 +25,36 @@ import duckdb
 import pandas as pd
 
 from museum_image_etl_gridfs_spark.catalog import TABLES
+from museum_image_etl_gridfs_spark.operators.lifecycle import release_checkpoints
 from museum_image_etl_gridfs_spark.plans import all_queries
 from museum_image_etl_gridfs_spark.session import get_spark
+
+
+def _steal_cs() -> int:
+    """Hypervisor steal time (centiseconds, all CPUs) from /proc/stat."""
+    try:
+        return int(open("/proc/stat").readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+class _NoiseClock:
+    """Per-row co-tenant noise ledger (same fields as bench.py's):
+    steal centiseconds accrued over the row's wall window + loadavg at
+    row end. Lets a reader adjudicate a slow sweep row as contention
+    vs regression after the fact — the round-6 lesson (839 s vs 232 s
+    on identical data, unadjudicable without the ledger)."""
+
+    def start(self) -> None:
+        self._steal0, self._wall0 = _steal_cs(), time.time()
+
+    def block(self) -> dict:
+        wall = time.time() - self._wall0
+        return {
+            "steal_cs": _steal_cs() - self._steal0,
+            "wall_s": round(wall, 1),
+            "loadavg1": round(os.getloadavg()[0], 2),
+        }
 
 
 def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
@@ -74,35 +102,114 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("names", nargs="*", help="subset of query names")
     ap.add_argument("--out", default=None, help="write full per-query results JSON here")
+    ap.add_argument(
+        "--count-only",
+        default="",
+        help="comma-separated names verified by exact COUNT compare only "
+        "(values hash-checked at sf0.01 as always; used at big SF where "
+        "the pair-quadratic oracle output is tens of millions of rows)",
+    )
+    ap.add_argument(
+        "--spark-only",
+        default="",
+        help="comma-separated names run Spark-side only (rows + engine "
+        "time; used where the oracle is intractable at this SF)",
+    )
     args = ap.parse_args()
+    count_only = {n for n in args.count_only.split(",") if n}
+    spark_only = {n for n in args.spark_only.split(",") if n}
 
     spark = get_spark("correctness-check")
     con = duck_connection(args.sf_dir)
     qs = all_queries()
     names = args.names or sorted(qs)
     failures, results = [], {}
+    clock = _NoiseClock()
 
     for name in names:
         q = qs[name]
+        clock.start()
         t0 = time.time()
+        if name in spark_only:
+            try:
+                rows = q.build(spark, args.sf_dir).count()
+                spark_sec = round(time.time() - t0, 2)
+                results[name] = {
+                    "status": "SPARK_ONLY_OK",
+                    "rows": rows,
+                    "sec": spark_sec,
+                    "spark_sec": spark_sec,
+                    "noise": clock.block(),
+                }
+                print(f"[spark-only] {name}: {rows} rows in {spark_sec}s")
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                results[name] = {"status": "SPARK_ERROR", "error": str(e)[:500]}
+                print(f"[FAIL-spark] {name}: {str(e)[:300]}")
+            release_checkpoints(spark)
+            continue
+        if name in count_only:
+            try:
+                rows = q.build(spark, args.sf_dir).count()
+                spark_sec = round(time.time() - t0, 2)
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                results[name] = {"status": "SPARK_ERROR", "error": str(e)[:500]}
+                print(f"[FAIL-spark] {name}: {str(e)[:300]}")
+                release_checkpoints(spark)
+                continue
+            t_o = time.time()
+            try:
+                o_rows = con.execute(
+                    f"SELECT COUNT(*) FROM ({q.oracle})"
+                ).fetchone()[0]
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                results[name] = {"status": "ORACLE_ERROR", "error": str(e)[:500]}
+                print(f"[FAIL-oracle] {name}: {str(e)[:300]}")
+                release_checkpoints(spark)
+                continue
+            status = (
+                "COUNT_OK"
+                if rows == o_rows
+                else f"COUNT_MISMATCH spark={rows} oracle={o_rows}"
+            )
+            results[name] = {
+                "status": status,
+                "rows": rows,
+                "sec": round(time.time() - t0, 2),
+                "spark_sec": spark_sec,
+                "oracle_sec": round(time.time() - t_o, 2),
+                "noise": clock.block(),
+            }
+            if status != "COUNT_OK":
+                failures.append(name)
+                print(f"[FAIL] {name}: {status}")
+            else:
+                print(f"[count-ok] {name}: {rows} rows, spark {spark_sec}s")
+            release_checkpoints(spark)
+            continue
         try:
             sdf = q.build(spark, args.sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             results[name] = {"status": "SPARK_ERROR", "error": str(e)[:500]}
             print(f"[FAIL-spark] {name}: {str(e)[:300]}")
+            release_checkpoints(spark)
             continue
         # engine time vs oracle time recorded separately: the scaling
         # gate (tools/bench_trend.py) judges the SPARK side; several
         # oracles are documented quadratic (pareto NOT-EXISTS, pair
         # joins) and would otherwise dominate "sec" at large SF.
         spark_sec = round(time.time() - t0, 2)
+        release_checkpoints(spark)
         if q.oracle is None:
             results[name] = {
                 "status": "ROWS_ONLY",
                 "rows": len(sdf),
                 "sec": spark_sec,
                 "spark_sec": spark_sec,
+                "noise": clock.block(),
             }
             print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
@@ -137,6 +244,7 @@ def main() -> int:
             "sec": round(time.time() - t0, 2),
             "spark_sec": spark_sec,
             "oracle_sec": round(time.time() - t_o, 2),
+            "noise": clock.block(),
         }
         if status != "OK":
             failures.append(name)

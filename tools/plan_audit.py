@@ -122,7 +122,7 @@ def read_committed(path: str | None = None) -> dict[str, dict]:
     with open(path) as f:
         for line in f:
             m = re.match(
-                r"\| (\w+) \| (\d+) \| (.*?) \| (\d+) \| (\d+) \| (\d+) \|",
+                r"\| ([\w-]+) \| (\d+) \| (.*?) \| (\d+) \| (\d+) \| (\d+) \|",
                 line,
             )
             if not m:
