@@ -44,7 +44,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .lifecycle import tracked_local_checkpoint
 from .quantiles import global_row_number
+
+#: target exploded-prefix occurrences per candidate-join task.
+#: Calibrated at sf0.1 (61,885 occurrences / 32 partitions ≈ 1.9 k per
+#: task, the measured-good shape); the count scales linearly with the
+#: corpus, so a 10× corpus gets 10× the tasks instead of 10× the work
+#: per task. The join's true cost is examined PAIRS (quadratic in each
+#: token's occurrence count), but occurrence volume is the signal the
+#: builder already has for free from the eager vocabulary pass, and
+#: pairs-per-occurrence is bounded by the frequency ordering keeping
+#: hot tokens out of prefixes.
+_OCC_PER_PARTITION = 2048
 
 
 def _suffix_overlap_bound(
@@ -168,7 +180,7 @@ def prefix_filter_jaccard_join(
         "tok", "rnk"
     )
 
-    # order each set rarest-first and keep the prefix
+    # order each set rarest-first
     keys = ["id", "blk", "n"] + (["is_new"] if new_col else [])
     with_rnk = (
         base.select("id", "blk", F.size("ts").alias("n"), "ts", *(
@@ -177,9 +189,56 @@ def prefix_filter_jaccard_join(
         .withColumn("tok", F.explode("ts"))
         .join(ranked, "tok")
     )
+    per_doc = with_rnk.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.col("rnk"))).alias("rnks")
+    )
+
+    # EXACT-DUPLICATE COLLAPSE (the simjoin's giant-bucket guard, same
+    # scale argument as the MinHash star collapse, dedup.py): docs with
+    # identical (block, token set) — ubiquitous in web corpora, and the
+    # worst case of the candidate join since k identical docs put k
+    # occurrences under EVERY shared prefix token, k² examined pairs
+    # each — are grouped once here and the whole pair machinery runs on
+    # one REPRESENTATIVE per group. Pairs are reconstituted at the end:
+    # within-group pairs are jaccard = 1.0 by identity (no join ever
+    # sees them), cross-group pairs expand the verified rep pairs
+    # through the member lists. On the 10×-replicated sf1 fixture this
+    # cuts examined pairs ~100× (measured: the collapsed join stage
+    # replaces the 6-minute dominant stage of the uncollapsed plan);
+    # on a duplicate-free corpus it degenerates to one extra shuffle of
+    # the rank arrays. Grouping by the full rnks array (not a hash) —
+    # exact by construction, no collision case to reason about.
+    group_aggs = [
+        F.min("id").alias("gid"),
+        F.collect_list(
+            F.struct(F.col("id"), *( [F.col("is_new")] if new_col else [] ))
+        ).alias("members"),
+    ]
+    if new_col:
+        group_aggs.append(F.max(F.col("is_new")).alias("has_new"))
+    groups = per_doc.groupBy("blk", "n", "rnks").agg(*group_aggs)
+    # ``groups`` is consumed repeatedly downstream (rep occurrence
+    # explode, both rank-array re-attach joins, two member-expansion
+    # joins, the incremental new-token set) and each consumption would
+    # otherwise re-run the explode + vocab-rank join + two groupBys
+    # from the source scan — cheap at sf0.1, 4× the dominant cost at
+    # sf1 (the round-6 regression: 1290 s solo → 503 s checkpointed).
+    # Tracked so bench.py / tools/check_correctness.py release the
+    # blocks between queries (operators/lifecycle.py contract).
+    groups = tracked_local_checkpoint(groups)
+
+    rep_cols = [
+        F.col("gid").alias("id"),
+        F.col("blk"),
+        F.col("n"),
+        F.col("rnks"),
+    ]
+    if new_col:
+        # a group is "new" for join pruning iff ANY member is new; the
+        # member-level flags re-apply exactly at expansion time below
+        rep_cols.append(F.col("has_new").alias("is_new"))
     ordered = (
-        with_rnk.groupBy(*keys)
-        .agg(F.sort_array(F.collect_list(F.col("rnk"))).alias("rnks"))
+        groups.select(*rep_cols)
         .withColumn(
             "plen",
             # ceil over a DOWN-nudged product: binary t·n can land an
@@ -226,12 +285,18 @@ def prefix_filter_jaccard_join(
     # millions of pairs), so AQE's size-based coalescing would fold
     # the quadratic-output join and its map-side pair dedup into ONE
     # task. User-specified repartition counts are exempt from AQE
-    # coalescing (measured 6.5 s -> 3.4 s at sf0.1).
+    # coalescing (measured 6.5 s -> 3.4 s at sf0.1). The count is
+    # derived from the DATA — total prefix occurrences, a one-row
+    # aggregate over the just-checkpointed ``ordered`` — not from
+    # ``spark.sql.shuffle.partitions``: at cluster scale the right
+    # number tracks the exploded-occurrence volume, and a session
+    # default tuned for the fact tables says nothing about it.
     spark = docs.sparkSession
-    try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        nparts = spark.sparkContext.defaultParallelism
+    n_occ = ordered.agg(F.sum("plen")).first()[0] or 0
+    nparts = max(
+        spark.sparkContext.defaultParallelism,
+        -(-int(n_occ) // _OCC_PER_PARTITION),
+    )
     sides = ordered.select(
         "id",
         "blk",
@@ -352,4 +417,52 @@ def prefix_filter_jaccard_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    rep_pairs = verified.select("id_a", "id_b", "jaccard")
+
+    # Reconstitute document pairs from the collapsed groups.
+    #
+    # Cross-group: expand each verified rep pair through both member
+    # lists (two planner-chosen joins keyed on gid; output-sized, all
+    # the quadratic examination already happened at rep granularity).
+    # The rep-level id_a < id_b ordering admits each group pair once,
+    # so member ids just need re-orienting with least/greatest.
+    def _members(side: str) -> DataFrame:
+        cols = [
+            F.col("gid").alias(f"id_{side}"),
+            F.col("m.id").alias(f"mid_{side}"),
+        ]
+        if new_col:
+            cols.append(F.col("m.is_new").alias(f"new_{side}"))
+        return groups.select("gid", F.explode("members").alias("m")).select(
+            *cols
+        )
+
+    cross = rep_pairs.join(_members("a"), "id_a").join(_members("b"), "id_b")
+    if new_col:
+        cross = cross.filter(F.col("new_a") | F.col("new_b"))
+    cross = cross.select(
+        F.least("mid_a", "mid_b").alias("id_a"),
+        F.greatest("mid_a", "mid_b").alias("id_b"),
+        "jaccard",
+    )
+
+    # Within-group: identical token sets, jaccard exactly 1.0 (=
+    # |s|/|s|, bit-identical to what any engine computes) — no join
+    # ever examines them. The empty token set is excluded: its
+    # jaccard is DEFINED as 0.0 (same convention as the verify stage),
+    # never >= a positive threshold. Nested explodes are narrow —
+    # the expansion is output-sized, the unavoidable floor.
+    intra = (
+        groups.filter((F.size("members") > 1) & (F.col("n") > 0))
+        .select(F.explode("members").alias("x"), "members")
+        .select("x", F.explode("members").alias("y"))
+        .filter(F.col("x.id") < F.col("y.id"))
+    )
+    if new_col:
+        intra = intra.filter(F.col("x.is_new") | F.col("y.is_new"))
+    intra = intra.select(
+        F.col("x.id").alias("id_a"),
+        F.col("y.id").alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return cross.unionByName(intra)

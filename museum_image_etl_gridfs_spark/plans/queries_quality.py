@@ -49,6 +49,19 @@ _SQL_HASH_BUCKET_1000 = (
 _STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in Q.STOPWORDS) + "]"
 
 
+def _sql_hash_bucket(expr: str, buckets: int) -> str:
+    """DuckDB rendering of ``functions/quality.hash_bucket`` for an
+    arbitrary string expression: first-8-hex-digits-of-md5 folded to
+    an integer, mod ``buckets`` (generalizes ``_SQL_HASH_BUCKET_1000``)."""
+    return (
+        "CAST(list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(regexp_split_to_array("
+        f"substr(md5({expr}), 1, 8), ''), "
+        "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+        f"(h, c) -> h * 16 + c) % {buckets} AS INTEGER)"
+    )
+
+
 @query(
     "quality_flags",
     oracle=f"""
@@ -832,4 +845,126 @@ def length_outliers_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars",
         F.round(pr, 4).alias("len_pr"),
         ((pr >= 0.02) & (pr <= 0.98)).alias("keep"),
+    )
+
+
+#: DSIR hashed-feature space size (the paper hashes word n-grams into
+#: a fixed bucket count; 4096 keeps the distribution tables broadcast-
+#: sized at ANY corpus scale — the whole point of hashing the vocab)
+_DSIR_B = 4096
+#: stand-in "target distribution" slice: English documents
+_DSIR_TARGET = "en"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_SQL_WORDS_LOWER} AS w FROM documents),
+    g AS (
+        SELECT doc_id, lang, g
+        FROM w, UNNEST(list_concat(w,
+            CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1]) END)) AS t(g)),
+    b AS (
+        SELECT doc_id, lang, {_sql_hash_bucket('g', _DSIR_B)} AS b FROM g),
+    pd AS (
+        SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2, 3),
+    dist AS (
+        SELECT b, CAST(sum(cnt) AS BIGINT) AS r_cnt,
+               CAST(sum(CASE WHEN lang = '{_DSIR_TARGET}' THEN cnt
+                             ELSE 0 END) AS BIGINT) AS t_cnt
+        FROM pd GROUP BY 1),
+    tot AS (
+        SELECT CAST(sum(r_cnt) AS BIGINT) AS r_tot,
+               CAST(sum(t_cnt) AS BIGINT) AS t_tot
+        FROM dist),
+    ratio AS (
+        SELECT b, CAST(ln((t_cnt + 1.0) / (t_tot + {_DSIR_B}))
+                       - ln((r_cnt + 1.0) / (r_tot + {_DSIR_B}))
+                   AS DECIMAL(18, 12)) AS w_b
+        FROM dist CROSS JOIN tot),
+    s AS (
+        SELECT doc_id, sum(CAST(cnt AS DECIMAL(9, 0)) * w_b) AS s
+        FROM pd JOIN ratio USING (b) GROUP BY 1)
+    SELECT d.doc_id, coalesce(round(CAST(s.s AS DOUBLE), 4), 0.0) AS dsir_logw
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+    tags=("quality", "sampling", "dsir", "extension"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    per-document log importance weight under hashed n-gram feature
+    distributions, log p_target(doc) − p_raw(doc) =
+    Σ_b cnt_b · [ln p̂_t(b) − ln p̂_r(b)], with word unigram+bigram
+    features hashed into {_DSIR_B} buckets and add-one smoothing.
+    Target distribution = the English slice; raw = the whole corpus.
+    Downstream, resampling ∝ exp(weight) selects raw data that looks
+    like the target — the published scalable alternative to model-
+    based quality scoring.
+
+    Scale shape (100 TB): ONE pass over the exploded feature stream
+    into per-(doc, bucket) counts (map-side combined); the raw and
+    target bucket distributions cascade off those counts — never a
+    second corpus scan; both distribution tables are O({_DSIR_B})
+    rows regardless of corpus size (that is WHY DSIR hashes features)
+    and broadcast to the scoring join. Per-doc accumulation is
+    DECIMAL-exact (order-independent across partitionings/engines,
+    registry determinism rule); hash buckets use the engine-portable
+    md5 fold (functions/quality.hash_bucket), so any engine can
+    recompute which rows a resample would keep.
+
+    Extension beyond the reference (no curation surface there;
+    SURVEY.md §2.12)."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    wdf = docs.select(
+        "doc_id", "lang", Q.words(F.lower(F.col("text"))).alias("w")
+    )
+    feats = wdf.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(F.col("w"), Q.word_ngrams(F.col("w"), 2))
+        ).alias("g"),
+    )
+    per_doc = (
+        feats.select(
+            "doc_id", "lang", Q.hash_bucket(F.col("g"), _DSIR_B).alias("b")
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dist = per_doc.groupBy("b").agg(
+        F.sum("cnt").alias("r_cnt"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("t_cnt"),
+    )
+    tot = dist.groupBy().agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    ratio = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("t_cnt") + 1.0) / (F.col("t_tot") + _DSIR_B))
+            - F.log((F.col("r_cnt") + 1.0) / (F.col("r_tot") + _DSIR_B))
+        )
+        .cast("decimal(18,12)")
+        .alias("w_b"),
+    )
+    scored = (
+        per_doc.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt").cast("decimal(9,0)") * F.col("w_b")).alias("s"))
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.round(F.col("s").cast("double"), 4), F.lit(0.0)).alias(
+            "dsir_logw"
+        ),
     )
