@@ -215,3 +215,25 @@ def test_bm25_more_hits_scores_higher(spark, sf_dir):
                 # check the common case where one dominates
                 compared += 1
     assert compared >= 0  # structural smoke; exact parity is the oracle
+
+
+def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
+    """DSIR semantics sanity, independent of the oracle: documents
+    drawn FROM the target distribution (lang='en') must average a
+    higher log importance weight than the rest — that is the whole
+    point of log p_target − p_raw — and every document gets a weight
+    (empty docs at 0.0)."""
+    from museum_image_etl_gridfs_spark.catalog import load
+
+    q = all_queries()["dsir_importance_weights"]
+    w = q.build(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir).select("doc_id", "lang")
+    assert w.count() == docs.count()  # total function of the corpus
+    by_side = (
+        w.join(docs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_logw").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in by_side}
+    assert means[True] > means[False]
