@@ -968,3 +968,81 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dsir_logw"
         ),
     )
+
+
+#: temperature-sampling exponent (XLM-R / mC4 use 0.7 to up-weight
+#: low-resource slices) and the epoch's sampling budget (fraction of
+#: the corpus)
+_TEMP_TAU = 0.7
+_TEMP_BUDGET = 0.5
+
+
+@query(
+    "temperature_mixture_sample",
+    oracle=f"""
+    WITH n AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY 1),
+    tot AS (
+        SELECT sum(pow(n_s, {_TEMP_TAU})) AS z,
+               CAST(sum(n_s) AS BIGINT) AS n
+        FROM n),
+    r AS (
+        SELECT source,
+               CAST(round(least(1.0,
+                        (floor({_TEMP_BUDGET} * n)
+                         * (pow(n_s, {_TEMP_TAU}) / z)) / n_s)
+                    * 1000000, 0) AS BIGINT) AS rate_ppm
+        FROM n CROSS JOIN tot)
+    SELECT d.doc_id, d.source, r.rate_ppm
+    FROM documents d JOIN r USING (source)
+    WHERE {_sql_hash_bucket('CAST(doc_id AS VARCHAR)', 1_000_000)} < rate_ppm
+    """,
+    tags=("sampling", "mixing", "temperature", "extension"),
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual
+    temperature-sampling knob of XLM-R / mC4, public method): the
+    sampled epoch's source mixture follows q_s ∝ n_s^τ (τ = 0.7
+    up-weights small sources relative to their raw share), realized as
+    a per-source keep rate r_s = min(1, K·q_s / n_s) over a sampling
+    budget K = ⌊{_TEMP_BUDGET} · N⌋, with membership decided by the
+    engine-portable md5 hash bucket — no RNG, reproducible
+    row-for-row across engines, partitionings and reruns. Where
+    ``source_mixture_epoch`` applies FIXED per-source weights, this
+    derives the weights FROM the measured source sizes.
+
+    Scale shape: one tiny per-source count (map-side combined), a
+    1-row totals aggregate, the O(sources) rate table broadcast back;
+    the corpus-side pass is a narrow filter at scan speed — no
+    corpus shuffle at any scale. ``rate_ppm`` is emitted as an exact
+    integer so the oracle compare has no float column.
+    """
+    docs = load(spark, "documents", sf_dir)
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = n.groupBy().agg(
+        F.sum(F.pow("n_s", F.lit(_TEMP_TAU))).alias("z"),
+        F.sum("n_s").alias("n"),
+    )
+    r = n.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.floor(_TEMP_BUDGET * F.col("n"))
+                    * (F.pow("n_s", F.lit(_TEMP_TAU)) / F.col("z"))
+                )
+                / F.col("n_s"),
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    return (
+        docs.join(F.broadcast(r), "source")
+        .filter(Q.hash_bucket("doc_id", 1_000_000) < F.col("rate_ppm"))
+        .select("doc_id", "source", "rate_ppm")
+    )
