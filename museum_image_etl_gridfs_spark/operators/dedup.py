@@ -153,10 +153,12 @@ def minhash_signature(hash_col, num_hashes: int = 64, seed: int = 42) -> "F.Colu
 
 
 def _minhash_band_rows(
-    id_field, k: int, num_hashes: int, bands: int, seed: int
+    id_field, k: int, num_hashes: int, bands: int, seed: int,
+    with_new: bool = False,
 ):
     """mapInPandas worker: (id, text) batches -> one row per (doc,
-    band): (id, sig array<long>, band, band_hash).
+    band): (id, sig array<long>, band, band_hash) (+ the pass-through
+    ``is_new`` flag when ``with_new``, for incremental mode).
 
     Vectorized numpy per document: shingle the token list, crc32 each
     shingle (deterministic across workers/runs, unlike PYTHONHASHSEED
@@ -179,7 +181,11 @@ def _minhash_band_rows(
     def fn(batches):
         for pdf in batches:
             ids, fps, sigs, band_ids, band_hashes = [], [], [], [], []
-            for doc_id, fp, text in zip(pdf["id"], pdf["fp"], pdf["text"]):
+            news = []
+            new_in = pdf["is_new"] if with_new else [False] * len(pdf)
+            for doc_id, fp, text, is_new in zip(
+                pdf["id"], pdf["fp"], pdf["text"], new_in
+            ):
                 toks = (text or "").lower().split()
                 if len(toks) < k:
                     sh = {" ".join(toks)}
@@ -201,20 +207,24 @@ def _minhash_band_rows(
                     band_hashes.append(
                         zlib.crc32(sig[band * rpb : (band + 1) * rpb].tobytes())
                     )
-            yield pd.DataFrame(
-                {
-                    "id": ids,
-                    "fp": fps,
-                    "sig": sigs,
-                    "band": band_ids,
-                    "band_hash": band_hashes,
-                }
-            )
+                    news.append(bool(is_new))
+            out = {
+                "id": ids,
+                "fp": fps,
+                "sig": sigs,
+                "band": band_ids,
+                "band_hash": band_hashes,
+            }
+            if with_new:
+                out["is_new"] = news
+            yield pd.DataFrame(out)
 
     schema = (
         f"id {id_field.dataType.simpleString()}, fp long, sig array<long>, "
         "band int, band_hash long"
     )
+    if with_new:
+        schema += ", is_new boolean"
     return fn, schema
 
 
@@ -230,8 +240,22 @@ def minhash_near_duplicates(
     min_jaccard: float = 0.5,
     num_partitions: int | None = None,
     bucket_cap: int = 4096,
+    new_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
+
+    ``new_col`` (boolean column) switches on INCREMENTAL mode — the
+    approximate twin of ``simjoin.prefix_filter_jaccard_join``'s
+    ``new_col``: only pairs with at least one NEW member are emitted,
+    and the result equals the full output filtered to those pairs
+    (``tests/test_dedup.py`` pins that equivalence). Plan-level, not a
+    post-filter: the batch is re-sketched alone (cheap — the batch is
+    small by premise) to get its band-bucket keys, the corpus'
+    banded rows are left-semi pruned by that key set BEFORE the bucket
+    shuffle (broadcasts when the batch is small — the corpus inventory
+    is filtered map-side, never shuffled), old×old comparisons are
+    rejected inside the bucket-local pair kernel, and all-old
+    exact-dup star groups are dropped at the aggregate.
 
     Pipeline: shingle -> signature -> band hashes (one Arrow-batched
     mapInPandas stage, see :func:`_minhash_band_rows`) -> repartition
@@ -298,36 +322,67 @@ def minhash_near_duplicates(
     if bucket_cap < 2:
         raise ValueError("bucket_cap must be at least 2")
 
-    src = spread(df, id_col, target=num_partitions).select(
+    src_cols = [
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         F.xxhash64(text_col).alias("fp"),
-    )
+    ]
+    if new_col:
+        src_cols.append(F.col(new_col).cast("boolean").alias("is_new"))
+    src = spread(df, id_col, target=num_partitions).select(*src_cols)
     fn, schema = _minhash_band_rows(
-        src.schema["id"], k, num_hashes, bands, seed
+        src.schema["id"], k, num_hashes, bands, seed, with_new=bool(new_col)
     )
     banded = src.mapInPandas(fn, schema)
+    if new_col:
+        # Incremental band prune: a qualifying pair shares a band
+        # bucket with a NEW doc, so corpus rows outside the batch's
+        # bucket-key set provably pair nothing. The keys come from a
+        # SECOND sketch over the batch alone — deliberately not a
+        # filter fork off `banded` (that would re-run the full-corpus
+        # sketch twice; re-sketching just the small batch is the cheap
+        # side of that trade at any scale).
+        nfn, nschema = _minhash_band_rows(
+            src.schema["id"], k, num_hashes, bands, seed
+        )
+        new_keys = (
+            src.filter(F.col("is_new"))
+            .drop("is_new")
+            .mapInPandas(nfn, nschema)
+            .select("band", "band_hash")
+            .distinct()
+        )
+        banded = banded.join(new_keys, ["band", "band_hash"], "left_semi")
 
     # Star pairs come from a SEPARATE (id, fp) pass over the source —
     # text is hashed in the scan project and never shuffled, and the
     # expensive sketch stage is not forked (a fork off `banded` would
     # re-run the whole MapInPandas sketch for the star branch: Spark's
     # exchange reuse does not match the re-aliased twin subtree).
-    fp_ids = src.select("id", "fp")
-    dup_reps = (
-        fp_ids.groupBy("fp")
-        .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n"))
-        .filter(F.col("grp_n") > 1)
-        .select("fp", "rep_id")
+    fp_ids = src.select(
+        "id", "fp", *( ["is_new"] if new_col else [] )
     )
-    star_pairs = (
-        fp_ids.join(dup_reps, "fp")
-        .filter(F.col("id") != F.col("rep_id"))
-        .select(
-            F.least("id", "rep_id").alias("id_a"),
-            F.greatest("id", "rep_id").alias("id_b"),
-            F.lit(1.0).alias("jaccard_est"),
-        )
+    rep_aggs = [F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n")]
+    if new_col:
+        # the representative's own flag (min_by id) + whether the
+        # group contains ANY new member (all-old groups emit nothing)
+        rep_aggs.append(F.min_by("is_new", "id").alias("rep_new"))
+        rep_aggs.append(F.max("is_new").alias("grp_new"))
+    dup_reps = fp_ids.groupBy("fp").agg(*rep_aggs).filter(F.col("grp_n") > 1)
+    if new_col:
+        dup_reps = dup_reps.filter(F.col("grp_new"))
+        dup_reps = dup_reps.select("fp", "rep_id", "rep_new")
+    else:
+        dup_reps = dup_reps.select("fp", "rep_id")
+    star_pairs = fp_ids.join(dup_reps, "fp").filter(
+        F.col("id") != F.col("rep_id")
+    )
+    if new_col:
+        star_pairs = star_pairs.filter(F.col("is_new") | F.col("rep_new"))
+    star_pairs = star_pairs.select(
+        F.least("id", "rep_id").alias("id_a"),
+        F.greatest("id", "rep_id").alias("id_b"),
+        F.lit(1.0).alias("jaccard_est"),
     )
 
     # ONE exchange on the bucket key; every window/groupBy below keys
@@ -369,12 +424,14 @@ def minhash_near_duplicates(
             ),
         ).otherwise(F.array()),
     )
+    member_cols = ["id", "sig", "chunk"] + (["is_new"] if new_col else [])
     blocks = kept.select(
         "band",
         "band_hash",
         "id",
         "sig",
         "chunk",
+        *( ["is_new"] if new_col else [] ),
         F.explode(assignments).alias("blk"),
     ).select(
         "band",
@@ -382,20 +439,25 @@ def minhash_near_duplicates(
         "id",
         "sig",
         "chunk",
+        *( ["is_new"] if new_col else [] ),
         F.col("blk.bi").alias("bi"),
         F.col("blk.bj").alias("bj"),
     )
     tasks = (
         blocks.groupBy("band", "band_hash", "bi", "bj")
-        .agg(F.collect_list(F.struct("id", "sig", "chunk")).alias("ms"))
+        .agg(F.collect_list(F.struct(*member_cols)).alias("ms"))
         .filter(F.size("ms") > 1)
     )
 
     id_type = banded.schema["id"].dataType.simpleString()
+    incremental = new_col is not None
 
     def pair_fn(batches):
         import numpy as np
         import pandas as pd
+
+        def _new(m) -> bool:  # old×old pairs are dead in incremental mode
+            return m["is_new"] if incremental else True
 
         for pdf in batches:
             id_a, id_b, est = [], [], []
@@ -408,7 +470,9 @@ def minhash_near_duplicates(
                     for i in range(len(members)):
                         eq = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
                         for j, e in enumerate(eq, start=i + 1):
-                            if e >= min_jaccard:
+                            if e >= min_jaccard and (
+                                _new(members[i]) or _new(members[j])
+                            ):
                                 id_a.append(members[i]["id"])
                                 id_b.append(members[j]["id"])
                                 est.append(float(e))
@@ -419,7 +483,9 @@ def minhash_near_duplicates(
                     for m in left:
                         eq = (sig_r == np.asarray(m["sig"])).mean(axis=1)
                         for j, e in enumerate(eq):
-                            if e >= min_jaccard:
+                            if e >= min_jaccard and (
+                                _new(m) or _new(right[j])
+                            ):
                                 lo, hi = sorted((m["id"], right[j]["id"]))
                                 id_a.append(lo)
                                 id_b.append(hi)

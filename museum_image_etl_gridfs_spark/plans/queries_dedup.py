@@ -243,3 +243,34 @@ def dup_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("occurrences"), "gram")
         .limit(20)
     )
+
+
+@query(
+    "incremental_minhash_near_dups",
+    oracle=None,
+    tags=("dedup", "lsh", "incremental", "extension"),
+)
+def incremental_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash+LSH near-dup pairs — the approximate twin
+    of ``incremental_near_dups`` (rows-only check: signatures are not
+    SQL-expressible; equivalence to the full join filtered to
+    >=1-new-member pairs is pinned in tests/test_dedup.py): today's
+    batch (the deterministic doc_id % 10 == 0 slice) deduped against
+    the standing corpus without re-pairing the corpus with itself.
+    The batch is re-sketched alone for its band-key set, the corpus'
+    banded rows are semi-join pruned map-side, and old x old
+    comparisons die inside the bucket kernel
+    (operators/dedup.py::minhash_near_duplicates ``new_col``)."""
+    docs = load(spark, "documents", sf_dir).withColumn(
+        "is_new", F.col("doc_id") % 10 == 0
+    )
+    return minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        k=5,
+        num_hashes=64,
+        bands=16,
+        min_jaccard=0.4,
+        new_col="is_new",
+    )

@@ -233,3 +233,32 @@ def test_ngram_jaccard_edges(spark):
     assert row["same"] == 1.0
     assert row["both_empty"] == 0.0
     assert row["disjoint"] == 0.0
+
+
+def test_incremental_minhash_equals_filtered_full(spark, sf_dir):
+    """Incremental mode's contract: identical to the FULL output
+    filtered to pairs with at least one new member — the band prune
+    drops only buckets with no new doc (whose pairs are all old×old),
+    the kernel rejects old×old inside surviving buckets, and all-old
+    star groups emit nothing."""
+    from museum_image_etl_gridfs_spark.catalog import load
+
+    docs = load(spark, "documents", sf_dir).withColumn(
+        "is_new", F.col("doc_id") % 10 == 0
+    )
+    kw = dict(k=5, num_hashes=16, bands=4, min_jaccard=0.3)
+    full = minhash_near_duplicates(docs, "doc_id", "text", **kw)
+    inc = minhash_near_duplicates(
+        docs, "doc_id", "text", new_col="is_new", **kw
+    )
+    flags = docs.select(F.col("doc_id"), "is_new")
+    expected = (
+        full.join(flags.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("is_new", "new_a")
+        .join(flags.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .filter(F.col("new_a") | F.col("is_new"))
+        .select("id_a", "id_b", "jaccard_est")
+    )
+    got = {tuple(r) for r in inc.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want and len(want) > 0

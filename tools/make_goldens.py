@@ -45,6 +45,7 @@ FULL_GOLDENS = {
     "kmeans_cluster_profile": ["cluster"],
     "semantic_dedup_keep": ["vec_id"],
     "minhash_near_dups": ["id_a", "id_b"],
+    "incremental_minhash_near_dups": ["id_a", "id_b"],
     "simhash_fingerprints": ["doc_id"],
     "near_dup_clusters": ["component"],
     "lsh_bucketed_ann": ["bucket"],

@@ -46,6 +46,7 @@ _PYTHON_NODES = (
 #: queries where Python eval is the design (no JVM primitive exists)
 EXPECTED_PYTHON = {
     "minhash_near_dups",        # numpy minhash sketching
+    "incremental_minhash_near_dups",  # same sketch, batch-vs-corpus mode
     "multimodal_transform",     # binary image codec
     "image_etl_gridfs",         # binary image codec
     "audio_resample_plan",      # PCM codec
