@@ -47,12 +47,18 @@ class _NoiseClock:
 
     def start(self) -> None:
         self._steal0, self._wall0 = _steal_cs(), time.time()
+        self._load0 = os.getloadavg()[0]
 
     def block(self) -> dict:
         wall = time.time() - self._wall0
         return {
             "steal_cs": _steal_cs() - self._steal0,
             "wall_s": round(wall, 1),
+            # loadavg at BOTH ends of the row: a contended middle is
+            # invisible to an end-only sample when the row's own last
+            # stage is narrow (the round-7 duplicated_spans lesson —
+            # 326 s contended row closed at loadavg 2.7)
+            "loadavg1_start": round(self._load0, 2),
             "loadavg1": round(os.getloadavg()[0], 2),
         }
 
