@@ -104,6 +104,52 @@ def gram_occurrences(
     )
 
 
+def gram_hash_occurrences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """One row per token k-gram occurrence, identified by HASH only:
+    (id, pos, __gh) with ``__gh = xxhash64(tok₁,…,tok_k)``.
+
+    The whole-stage-codegen formulation of :func:`gram_occurrences`
+    for consumers that never need the gram STRING (duplicated_spans):
+    posexplode the tokens once, build the gram identity with k−1
+    ``lead()`` columns over (id, pos) and hash the k token columns
+    directly — no per-gram array slice, no string concatenation, no
+    interpreted higher-order lambda (the trap NOTES.md documents for
+    frequent_bigrams; measured 81 s → see NOTES round 7 at sf1).
+    Tokens are whitespace-split so the multi-column hash identifies
+    exactly the same grams as hashing the space-joined string
+    (collision class unchanged: 2⁻⁶⁴ per pair).
+
+    One exchange: ``spread`` clusters by ``id``, the explode is
+    narrow, and the window's (id, pos) requirement is satisfied by
+    that same partitioning — per-doc state only, no hot-key skew
+    (windowing BY GRAM was rejected with measurements in round 6; BY
+    DOC is bounded by document length).
+    """
+    from ..partitioning import spread
+
+    toks = norm_tokens(text_col)
+    exploded = spread(df, id_col).select(
+        F.col(id_col), F.posexplode(toks).alias("__i", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__i")
+    lead_cols = [F.lead("__tok", j).over(w).alias(f"__t{j}") for j in range(1, k)]
+    g = exploded.select(
+        id_col, (F.col("__i") + 1).cast("long").alias("pos"), "__tok", *lead_cols
+    )
+    last = f"__t{k - 1}" if k > 1 else "__tok"
+    return g.filter(F.col(last).isNotNull()).select(
+        id_col,
+        "pos",
+        F.xxhash64("__tok", *[f"__t{j}" for j in range(1, k)]).alias("__gh"),
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     *,
@@ -124,10 +170,10 @@ def duplicated_spans(
     count (a doc that repeats its own boilerplate dedups against
     itself, matching the suffix-array semantics).
     """
-    occ = gram_occurrences(df, id_col=id_col, text_col=text_col, k=k)
-    # shuffle-narrow: test duplication on the gram's 64-bit hash, not
-    # the string (collision risk 2^-64 per pair — the standard trade).
-    occ = occ.select(id_col, "pos", F.xxhash64("gram").alias("__gh"))
+    # duplication is tested on the gram's 64-bit hash, never the
+    # string (collision risk 2^-64 per pair — the standard trade), so
+    # the codegen hash-gram path applies: no gram strings anywhere.
+    occ = gram_hash_occurrences(df, id_col=id_col, text_col=text_col, k=k)
     dup = (
         occ.groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__c"))

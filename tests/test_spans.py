@@ -119,3 +119,36 @@ def test_gram_occurrences_positions(spark):
     rows = gram_occurrences(df, k=2).collect()
     got = {(r["pos"], r["gram"]) for r in rows}
     assert got == {(1, "a b"), (2, "b c"), (3, "c d")}
+
+
+def test_gram_hash_occurrences_positions_match_string_path(spark):
+    """The codegen hash-gram path must produce exactly the (id, pos)
+    occurrence set of the string path, and equal hashes exactly where
+    the string grams are equal."""
+    from museum_image_etl_gridfs_spark.operators.spans import (
+        gram_hash_occurrences,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),
+            (2, "a b c x y z"),
+            (3, "one two"),     # shorter than k -> no grams
+            (4, None),
+            (5, "a b c a b c a b"),  # duplicate doc
+        ],
+        ["doc_id", "text"],
+    )
+    k = 3
+    s = {
+        (r["doc_id"], r["pos"]): r["gram"]
+        for r in gram_occurrences(df, k=k).collect()
+    }
+    h = {
+        (r["doc_id"], r["pos"]): r["__gh"]
+        for r in gram_hash_occurrences(df, k=k).collect()
+    }
+    assert set(s) == set(h)
+    for key_a, g_a in s.items():
+        for key_b, g_b in s.items():
+            assert (g_a == g_b) == (h[key_a] == h[key_b]), (key_a, key_b)
