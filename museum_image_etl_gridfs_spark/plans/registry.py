@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .staleness import LAST_CHECKED
+from .staleness import LAST_CHECKED, LATEST_ROUND
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -92,47 +92,91 @@ _SENTINELS = (
 )
 
 
-def _priority(q: Query) -> tuple[int, int]:
-    """Sort key rotating the STALEST queries into the driver prefix.
+#: rows the driver verifies per round (observed in every
+#: CORRECTNESS_r*.json since r1) — the ordering below is designed
+#: around this budget.
+DRIVER_PREFIX = 50
 
-    The driver verifies a fixed-budget prefix of the registry (50
-    rows), so ordering IS the verification policy:
+#: at most this many never-driver-green oracle-checkable queries may
+#: jump ahead of the stale band per round, so a wave of new queries
+#: cannot starve the rotation (the r7 wave pushed user_event_type_map
+#: past the staleness promise).
+NEVER_GREEN_CAP = 2
 
-    - sentinels first — new-query waves can never crowd them out;
-    - then ascending last-green-driver-round from the generated
-      ``staleness.LAST_CHECKED`` table (``tools/gen_staleness.py``),
-      with never-GREEN queries at round 0, ahead of everything
-      previously green. (A red row does not advance a previously
-      green query's round: gen_staleness records only green rounds,
-      so the query keeps its older round and stays near the front —
-      the rotation self-corrects without a separate red state.);
-    - oracle-less queries LAST: the driver can only ever emit
-      ``err: no_oracle`` for them (it cannot hash-check a query with
-      no DuckDB SQL), so a prefix slot spent on one is wasted — they
-      are verified by full-result goldens (``tests/test_goldens.py``)
-      and rows-only sweeps instead;
-    - registration order breaks ties (stable sort).
+#: staleness promise: every oracle-checkable query re-verified by the
+#: driver within this many rounds of its last green row.
+PROMISE_AGE = 4
 
-    With a ~190-query registry and a 50-row budget this re-verifies
-    every oracle-checkable query at least once every ~4 rounds, so no
-    driver row ages indefinitely (round 4's max age was 3; the
-    rotation keeps it there).
+
+def _last(q: Query) -> int:
+    return LAST_CHECKED.get(q.name, 0)
+
+
+def _ordered(queries: list[Query]) -> list[Query]:
+    """Order the registry so the driver's fixed 50-row prefix IS the
+    verification policy.
+
+    Bands, in order:
+
+    1. sentinels — new-query waves can never crowd them out;
+    2. never-driver-green oracle-checkable queries, CAPPED at
+       :data:`NEVER_GREEN_CAP` per round (overflow re-queues directly
+       after the prefix, so it leads the next round);
+    3. previously-green oracle-checkable queries ascending last-green
+       round from the generated ``staleness.LAST_CHECKED`` table
+       (``tools/gen_staleness.py``; a red row does not advance a
+       query's round, so failures self-correct to the front);
+    4. ONE no-oracle query (the one with the oldest driver contact,
+       never-run first) takes the LAST prefix slot — but only when
+       granting it cannot push any oracle-checkable query past
+       :data:`PROMISE_AGE` + 1 rounds of staleness at the upcoming
+       round. The driver can only row-count these (``err:
+       no_oracle``), but rows>0-in-driver-env beats never-run; their
+       value checks live in full-result goldens
+       (``tests/test_goldens.py``) and the sf sweeps.
+    5. everything else (never-green overflow, fresher greens, the
+       remaining no-oracle queries) — outside the budget this round.
+
+    Registration order breaks ties everywhere (stable sort).
     """
-    if q.name in _SENTINELS:
-        return (0, -1, 0)
-    no_oracle = 1 if q.oracle is None else 0
-    return (no_oracle, LAST_CHECKED.get(q.name, 0), 0)
+    by_name = {q.name: q for q in queries}
+    sentinels = [by_name[n] for n in _SENTINELS if n in by_name]
+    rest = [q for q in queries if q.name not in _SENTINELS]
+    oracle = [q for q in rest if q.oracle is not None]
+    no_oracle = sorted(
+        (q for q in rest if q.oracle is None), key=_last
+    )
+    never = [q for q in oracle if _last(q) == 0]
+    seen = sorted((q for q in oracle if _last(q) > 0), key=_last)
+    head_never, tail_never = never[:NEVER_GREEN_CAP], never[NEVER_GREEN_CAP:]
+
+    head = sentinels + head_never
+    slots = DRIVER_PREFIX - len(head)
+    # Trickle condition: the no-oracle slot displaces the
+    # (slots-1)+1-th stalest green; grant it only if every green that
+    # then misses the prefix is still within PROMISE_AGE+1 at the
+    # upcoming round (LATEST_ROUND+1).
+    upcoming = LATEST_ROUND + 1
+    displaced = seen[slots - 1 :] if slots >= 1 else seen
+    trickle_ok = bool(no_oracle) and all(
+        upcoming - _last(q) <= PROMISE_AGE + 1 for q in displaced
+    )
+    if trickle_ok:
+        prefix = head + seen[: slots - 1] + no_oracle[:1]
+        overflow = tail_never + seen[slots - 1 :] + no_oracle[1:]
+    else:
+        prefix = head + seen[:slots]
+        overflow = tail_never + seen[slots:] + no_oracle
+    return prefix + overflow
 
 
 def all_queries() -> dict[str, Query]:
     """Import all query modules and return the full registry.
 
     Ordered so the driver's prefix-limited correctness pass spends its
-    budget on the stalest driver rows (sentinels first, then ascending
-    last-green round; registration order is preserved within each
-    priority band).
+    budget on the stalest driver rows — see :func:`_ordered` for the
+    banding policy.
     """
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    ordered = sorted(_REGISTRY.values(), key=_priority)
-    return {q.name: q for q in ordered}
+    return {q.name: q for q in _ordered(list(_REGISTRY.values()))}

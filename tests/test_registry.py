@@ -22,29 +22,57 @@ def test_registry_nonempty_and_named():
 
 
 def test_driver_prefix_rotates_stalest_first():
-    """The driver verifies a 50-row prefix: sentinels must lead,
-    oracle-checkable queries must be ordered by ascending last-green
-    driver round so no CORRECTNESS row ages indefinitely, and
-    oracle-less queries must sort LAST — the driver can only ever
-    emit ``err: no_oracle`` for them, so a prefix slot spent on one
-    is wasted (they are golden-pinned + rows-only-swept instead)."""
-    from museum_image_etl_gridfs_spark.plans.registry import _SENTINELS
+    """The driver verifies a 50-row prefix: sentinels must lead, then
+    at most NEVER_GREEN_CAP never-driver-green oracle-checkable
+    queries (a new-query wave cannot starve the rotation), then
+    oracle-checkable queries ascending last-green driver round; when
+    the trickle condition holds, exactly one no-oracle query (oldest
+    driver contact first) takes the final prefix slot so rows>0
+    evidence in the driver env accrues to the golden-pinned queries
+    too."""
+    from museum_image_etl_gridfs_spark.plans.registry import (
+        DRIVER_PREFIX,
+        NEVER_GREEN_CAP,
+        _SENTINELS,
+    )
     from museum_image_etl_gridfs_spark.plans.staleness import LAST_CHECKED
 
     names = list(QUERIES)
     assert names[: len(_SENTINELS)] == list(_SENTINELS) or set(
         names[: len(_SENTINELS)]
     ) == set(_SENTINELS)
-    tail = names[len(_SENTINELS):]
-    with_oracle = [n for n in tail if QUERIES[n].oracle is not None]
-    no_oracle = [n for n in tail if QUERIES[n].oracle is None]
-    # every oracle-less query sits behind every oracle-checkable one
-    assert tail == with_oracle + no_oracle
-    rounds = [LAST_CHECKED.get(n, 0) for n in with_oracle]
+    prefix = names[:DRIVER_PREFIX]
+    body = prefix[len(_SENTINELS):]
+    # never-green cap: at most NEVER_GREEN_CAP rows with no prior green
+    # oracle-checkable round inside the prefix body (excluding the
+    # optional no-oracle trickle slot at the end)
+    oracle_body = [n for n in body if QUERIES[n].oracle is not None]
+    never = [n for n in oracle_body if LAST_CHECKED.get(n, 0) == 0]
+    assert len(never) <= NEVER_GREEN_CAP
+    # never-green rows lead the body
+    assert oracle_body[: len(never)] == never
+    # the rest ascend by last-green round (stalest first)
+    rounds = [LAST_CHECKED.get(n, 0) for n in oracle_body[len(never):]]
     assert rounds == sorted(rounds)
-    # brand-new oracle-checkable queries (round 0) must sort first
-    new = [n for n in with_oracle if n not in LAST_CHECKED]
-    assert with_oracle[: len(new)] == new
+    # at most ONE no-oracle query in the prefix, and only in the last slot
+    trickle = [n for n in body if QUERIES[n].oracle is None]
+    assert len(trickle) <= 1
+    if trickle:
+        assert body[-1] == trickle[0]
+        # the trickle slot goes to the no-oracle query with the OLDEST
+        # driver contact (never-run first)
+        all_no_oracle = [n for n in QUERIES if QUERIES[n].oracle is None]
+        oldest = min(all_no_oracle, key=lambda n: LAST_CHECKED.get(n, 0))
+        assert LAST_CHECKED.get(trickle[0], 0) == LAST_CHECKED.get(oldest, 0)
+    # no oracle-checkable query outside the prefix is staler than any
+    # non-sentinel inside it (the rotation spends budget on the stalest)
+    outside = [
+        n
+        for n in names[DRIVER_PREFIX:]
+        if QUERIES[n].oracle is not None and LAST_CHECKED.get(n, 0) > 0
+    ]
+    if outside and rounds:
+        assert min(LAST_CHECKED[n] for n in outside) >= rounds[-1]
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
