@@ -12,6 +12,16 @@ Each query is timed to FULL materialization via the noop batch sink
 text query timed that way measures row counting, not the text work)
 after a shared session warm-up so JVM/codegen startup is not
 attributed to the first query.
+
+Timing window (r8 semantics change): the clock starts BEFORE
+``build()``. Some builders run Spark jobs at construction time —
+``prefix_filter_jaccard_join`` materializes its vocabulary rank and a
+tracked localCheckpoint of the collapsed groups — and excluding build
+(the r7 behaviour) silently dropped that dominant stage from
+``prefix_join_near_dups``'s number while tools/check_correctness.py
+kept counting it. From r8 both artifacts time build+execute; r7's
+prefix_join bench reading (2.41 s) is NOT comparable to r8's on this
+query (the honest like-for-like r7 figure is its sweep spark_sec).
 """
 
 from __future__ import annotations
@@ -121,6 +131,39 @@ def main() -> None:
         except (OSError, IndexError, ValueError):
             return 0
 
+    # pre-flight window check (VERDICT r7 item 5): the r7 driver bench
+    # landed in a 3.6%-steal window and recorded 10.27 s for code that
+    # reads 8.26 s clean. If the host looks contended right now
+    # (loadavg above ~1.5x cores, or steal accruing > ~2% over a short
+    # probe), sleep once and re-probe before starting the timed reps —
+    # a single bounded retry, so a permanently-busy host still gets a
+    # bench, just an annotated one.
+    n_cpus = os.cpu_count() or 32
+    preflight = {"retried": False}
+
+    def _window_hostile() -> tuple[bool, float, float]:
+        s0 = _steal_cs()
+        time.sleep(2.0)
+        steal_pct = (_steal_cs() - s0) / (2.0 * n_cpus)  # % of one cpu
+        load = os.getloadavg()[0]
+        return (load > 1.5 * n_cpus or steal_pct > 2.0), load, steal_pct
+
+    hostile, load, steal_pct = _window_hostile()
+    preflight["loadavg1"] = round(load, 2)
+    preflight["steal_pct"] = round(steal_pct, 2)
+    if hostile:
+        wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_PREFLIGHT_WAIT", "60"))
+        print(
+            f"[bench] pre-flight: contended window (loadavg {load:.1f}, "
+            f"steal {steal_pct:.1f}%) — sleeping {wait_s}s and retrying once",
+            file=sys.stderr,
+        )
+        time.sleep(wait_s)
+        preflight["retried"] = True
+        _, load, steal_pct = _window_hostile()
+        preflight["loadavg1_after_retry"] = round(load, 2)
+        preflight["steal_pct_after_retry"] = round(steal_pct, 2)
+
     steal0, wall0 = _steal_cs(), time.perf_counter()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
@@ -130,8 +173,12 @@ def main() -> None:
             if name in errors:
                 continue
             try:
-                df = qs[name].build(spark, sf_dir)
+                # clock starts BEFORE build: construction-time jobs
+                # (eager vocab rank / checkpoint in the simjoin) are
+                # engine work and belong in the query's number — see
+                # module docstring for the r8 semantics change
                 t0 = time.perf_counter()
+                df = qs[name].build(spark, sf_dir)
                 _materialize(df)
                 dt = time.perf_counter() - t0
                 timings[name] = round(min(timings.get(name, dt), dt), 4)
@@ -162,6 +209,7 @@ def main() -> None:
             "steal_cs": _steal_cs() - steal0,
             "wall_s": round(wall, 1),
             "loadavg1": round(os.getloadavg()[0], 2),
+            "preflight": preflight,
         },
     }
     if errors:

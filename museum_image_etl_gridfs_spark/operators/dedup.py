@@ -321,6 +321,12 @@ def minhash_near_duplicates(
         raise ValueError("num_hashes must be divisible by bands")
     if bucket_cap < 2:
         raise ValueError("bucket_cap must be at least 2")
+    # normalize once: the guards below mix truthiness (`if new_col`)
+    # with identity (`new_col is not None` in the pair kernel); an
+    # empty-string argument would build members WITHOUT an is_new
+    # field but a kernel that indexes m["is_new"] → KeyError inside
+    # mapInPandas. After this line both tests agree for every input.
+    new_col = new_col or None
 
     src_cols = [
         F.col(id_col).alias("id"),

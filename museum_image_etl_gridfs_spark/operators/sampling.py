@@ -72,10 +72,18 @@ def weighted_reservoir_sample(
     weight-proportional sample without ties to run order, partition
     count, or an RNG seed. Adds ``wrs_rank`` (1-based within group);
     the float key itself is dropped so downstream comparisons stay
-    exact."""
+    exact.
+
+    Rows with non-positive weight are EXCLUDED, not merely sorted
+    last: a group with fewer than ``n`` positive-weight rows returns
+    only the valid rows rather than padding the reservoir with
+    zero/negative-weight ones (which have sampling probability 0 by
+    definition in A-ES). Oracles mirroring this operator must filter
+    ``weight > 0`` before ranking."""
     key = wrs_key(id_col, weight, salt=salt)
     w = Window.partitionBy(group_col).orderBy(key.desc_nulls_last(), id_col)
     return (
-        df.withColumn("wrs_rank", F.row_number().over(w))
+        df.filter(key.isNotNull())
+        .withColumn("wrs_rank", F.row_number().over(w))
         .filter(F.col("wrs_rank") <= n)
     )

@@ -148,6 +148,17 @@ def prefix_filter_jaccard_join(
     sampling, per-bucket counts) at CONSTRUCTION time — same eager
     pattern as ``running_totals``. Plan-inspection/dry-run callers pay
     the vocabulary aggregation even if they never act on the result.
+
+    **Storage contract**: construction pins a tracked localCheckpoint
+    of the collapsed groups (strong JVM refs in
+    ``operators/lifecycle.py``'s registry). Callers MUST call
+    ``lifecycle.release_checkpoints(spark)`` after fully materializing
+    the result — bench.py and tools/check_correctness.py do this
+    between queries — or wrap the build+action in
+    ``lifecycle.checkpoint_scope``; a long-lived session that never
+    releases accumulates unreleasable checkpoint blocks. Do NOT
+    release between construction and the final action: the checkpoint
+    truncates lineage, so freeing the blocks early fails the job.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")

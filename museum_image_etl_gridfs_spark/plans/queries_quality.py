@@ -983,10 +983,18 @@ _TEMP_BUDGET = 0.5
     WITH n AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_s
         FROM documents GROUP BY 1),
-    tot AS (
-        SELECT sum(pow(n_s, {_TEMP_TAU})) AS z,
+    packed AS (
+        SELECT list(n_s ORDER BY source) AS ns_arr,
                CAST(sum(n_s) AS BIGINT) AS n
         FROM n),
+    tot AS (
+        SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(ns_arr,
+                           x -> pow(CAST(x AS DOUBLE), {_TEMP_TAU}))),
+                   (a, b) -> a + b) AS z,
+               n
+        FROM packed),
     r AS (
         SELECT source,
                CAST(round(least(1.0,
@@ -1012,28 +1020,61 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``source_mixture_epoch`` applies FIXED per-source weights, this
     derives the weights FROM the measured source sizes.
 
-    Scale shape: one tiny per-source count (map-side combined), a
-    1-row totals aggregate, the O(sources) rate table broadcast back;
-    the corpus-side pass is a narrow filter at scan speed — no
-    corpus shuffle at any scale. ``rate_ppm`` is emitted as an exact
-    integer so the oracle compare has no float column.
+    Determinism of the normalizer: z = Σ_s n_s^τ is a FLOAT sum, and
+    a bare SUM() leaves its accumulation order to the engine — a
+    last-ulp difference (across engines or partitionings) could flip
+    ``round(…·1e6)`` by 1 ppm and change which doc_ids pass the hash
+    gate. Both engines therefore fold the SAME doubles in the SAME
+    source-sorted order: Spark ``aggregate(sorted array, 0.0, +)``,
+    DuckDB ``list_reduce(list(… ORDER BY source), +)`` — bit-identical
+    left-to-right summation, no order left to the engine. O(sources)
+    array in one row — sources is a mixture-definition-sized set, not
+    data-sized.
+
+    Scale shape: one tiny per-source count (map-side combined) packed
+    into a single sorted O(sources) row, rates derived by exploding it
+    — ONE eagerly-built subplan broadcast back (the r7 shape nested a
+    second broadcast(tot) inside broadcast(r), re-running the source
+    scan and paying two serial broadcast materializations — the bulk
+    of its flat ~2 s overhead at every SF). The corpus-side pass is a
+    narrow filter at scan speed — no corpus shuffle at any scale.
+    ``rate_ppm`` is an exact integer so the compare has no float
+    column.
     """
     docs = load(spark, "documents", sf_dir)
-    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    tot = n.groupBy().agg(
-        F.sum(F.pow("n_s", F.lit(_TEMP_TAU))).alias("z"),
-        F.sum("n_s").alias("n"),
+    packed = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("source", "n_s"))
+            ).alias("arr"),
+            F.sum("n_s").alias("n"),
+        )
+        .withColumn(
+            "z",
+            F.aggregate(
+                F.expr(
+                    f"transform(arr, x -> pow(CAST(x.n_s AS DOUBLE), {_TEMP_TAU}D))"
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+        )
     )
-    r = n.crossJoin(F.broadcast(tot)).select(
-        "source",
+    r = packed.select(
+        F.explode("arr").alias("x"), "n", "z"
+    ).select(
+        F.col("x.source").alias("source"),
         F.round(
             F.least(
                 F.lit(1.0),
                 (
                     F.floor(_TEMP_BUDGET * F.col("n"))
-                    * (F.pow("n_s", F.lit(_TEMP_TAU)) / F.col("z"))
+                    * (F.pow(F.col("x.n_s"), F.lit(_TEMP_TAU)) / F.col("z"))
                 )
-                / F.col("n_s"),
+                / F.col("x.n_s"),
             )
             * 1_000_000,
             0,

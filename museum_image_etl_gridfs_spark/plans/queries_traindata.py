@@ -274,6 +274,10 @@ _SQL_WRS_U32 = (
                ln(({_SQL_WRS_U32} + 0.5) / 4294967296.0)
                    / CAST(n_chars + 1 AS DOUBLE) AS k
         FROM documents
+        -- mirror of the engine's non-positive-weight EXCLUSION
+        -- (operators/sampling.py: rows with w <= 0 are ineligible,
+        -- never reservoir filler); vacuous here since n_chars >= 0
+        WHERE n_chars + 1 > 0
     ),
     ranked AS (
         SELECT doc_id, source, n_chars,
