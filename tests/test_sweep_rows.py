@@ -87,3 +87,41 @@ def test_scaling_gate_reads_count_only_engine_time():
     assert '"COUNT_OK"' in src and '"SPARK_ONLY_OK"' in src
     # and the gate path has no mixed-semantics fallback to row["sec"]
     assert 'row.get("spark_sec", row.get("sec"))' not in src
+
+
+def test_contended_row_annotation():
+    """bench_trend.contended_rows marks exactly the rows whose ledger
+    shows a hostile window (VERDICT r7 item 6): loadavg above 1.5x
+    cores at either end, or steal above 2%/cpu — and ignores fast rows
+    where the solo protocol isn't worth its cost."""
+    import importlib
+
+    bt = importlib.import_module("bench_trend")
+    n_cpus = 32
+    data = {
+        "results": {
+            # r7's image_etl_gridfs shape: steal 2.9%/cpu -> flagged
+            "steal_heavy": {
+                "status": "OK", "spark_sec": 545.1,
+                "noise": {"steal_cs": 50487, "wall_s": 547.5, "loadavg1": 39.2},
+            },
+            # loadavg over 1.5x cores at the START end -> flagged
+            "load_heavy": {
+                "status": "OK", "spark_sec": 60.0,
+                "noise": {"steal_cs": 0, "wall_s": 60.0,
+                          "loadavg1_start": 50.0, "loadavg1": 2.0},
+            },
+            # clean ledger -> not flagged
+            "clean": {
+                "status": "OK", "spark_sec": 80.0,
+                "noise": {"steal_cs": 100, "wall_s": 80.0, "loadavg1": 8.0},
+            },
+            # hostile window but sub-5s row -> not worth a solo re-run
+            "fast": {
+                "status": "OK", "spark_sec": 1.2,
+                "noise": {"steal_cs": 500, "wall_s": 1.2, "loadavg1": 60.0},
+            },
+        }
+    }
+    flagged = {r.split(" ")[0] for r in bt.contended_rows(data, n_cpus)}
+    assert flagged == {"steal_heavy", "load_heavy"}

@@ -81,6 +81,43 @@ SLACK = 1.6
 #: never flag a query whose big-SF time is still below this — a 2 s
 #: absolute cost is not a scaling problem regardless of ratio.
 MIN_FLAG_S = 3.0
+#: contended-window annotation thresholds (VERDICT r7 item 6): a sweep
+#: row whose ledger shows loadavg above LOAD_FACTOR×cores at either
+#: end, or hypervisor steal above STEAL_PCT per cpu over the row's
+#: window, is printed as "contended — solo re-run advised". Annotation
+#: only, never a gate failure: contention makes a reading unreliable,
+#: not wrong.
+CONTENDED_LOAD_FACTOR = 1.5
+CONTENDED_STEAL_PCT = 2.0
+#: don't advise re-running sub-5s rows — the solo protocol costs more
+#: than the information is worth below that.
+CONTENDED_MIN_S = 5.0
+
+
+def contended_rows(data: dict, n_cpus: int) -> list[str]:
+    """Rows of one sweep whose noise ledger marks a hostile window.
+
+    steal percent per cpu = steal_cs / (wall_s · n_cpus): steal_cs is
+    centiseconds summed over every cpu, so dividing by wall·cpus gives
+    the average fraction of each cpu stolen, in percent.
+    """
+    out = []
+    for name, row in (data.get("results") or {}).items():
+        noise = row.get("noise") or {}
+        wall = noise.get("wall_s") or 0
+        sec = row.get("spark_sec") or row.get("sec") or 0
+        if wall <= 0 or sec < CONTENDED_MIN_S:
+            continue
+        load = max(noise.get("loadavg1") or 0, noise.get("loadavg1_start") or 0)
+        steal_pct = (noise.get("steal_cs") or 0) / (wall * n_cpus)
+        reasons = []
+        if load > CONTENDED_LOAD_FACTOR * n_cpus:
+            reasons.append(f"loadavg {load:.1f} > {CONTENDED_LOAD_FACTOR:g}x{n_cpus}cpu")
+        if steal_pct > CONTENDED_STEAL_PCT:
+            reasons.append(f"steal {steal_pct:.1f}%/cpu")
+        if reasons:
+            out.append(f"{name} ({sec:.1f}s: " + ", ".join(reasons) + ")")
+    return out
 
 
 def _sf_of(sweep: dict) -> float | None:
@@ -211,6 +248,17 @@ def _sweep_report(root: str) -> None:
         print("\nno superlinear growth across "
               + " -> ".join(f"sf{s:g}" for s in sfs)
               + " (engine-side time, all green-status rows with a split)")
+    # contended-window annotation over the LATEST sweep per SF — turns
+    # the "which heavy rows need the solo protocol" judgment into a
+    # mechanical list (annotation, not a gate)
+    n_cpus = os.cpu_count() or 32
+    for sf in sfs:
+        rows = contended_rows(latest[sf]["data"], n_cpus)
+        if rows:
+            print(f"\nsf{sf:g}: {len(rows)} rows swept in a contended window "
+                  "— solo re-run advised:")
+            for r in sorted(rows):
+                print("  " + r)
 
 
 def main(argv: list[str]) -> int:
