@@ -26,6 +26,28 @@ from pyspark.sql import functions as F
 GRIDFS_CHUNK_SIZE = 261120  # 255 KB, GridFS default
 
 
+def chunk_pieces(data_col, chunk_size: int = GRIDFS_CHUNK_SIZE) -> F.Column:
+    """The GridFS write-side layout as a COLUMN: the ordered array of
+    ``chunk_size`` byte slices of a blob. :func:`chunk_binary` is this
+    expression followed by a posexplode; consumers that only need
+    per-file layout facts (chunk count, lengths) should aggregate the
+    array directly — same slicing arithmetic, no row expansion, no
+    shuffle (array_size(chunk_pieces(b)) ≡ chunk_binary(...).groupBy
+    count, pinned in tests/test_gridfs.py).
+
+    Empty blobs yield a single empty piece (GridFS stores zero chunks
+    for empty files; keeping one empty row preserves the round-trip
+    identity for length 0)."""
+    c = F.col(data_col) if isinstance(data_col, str) else data_col
+    n_chunks = F.greatest(
+        F.ceil(F.length(c) / F.lit(chunk_size)), F.lit(1)
+    ).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: c.substr(i * chunk_size + 1, F.lit(chunk_size)),
+    )
+
+
 def chunk_binary(
     df: DataFrame,
     id_col: str,
@@ -35,20 +57,12 @@ def chunk_binary(
     """Split a binary column into GridFS-style chunk rows.
 
     Returns (files_id, n, data): one row per ``chunk_size`` slice, in
-    0-based ordinal ``n``. Empty blobs produce a single empty chunk
-    (GridFS stores zero chunks for empty files; we keep one empty row
-    so the round-trip identity holds for length 0 as well).
+    0-based ordinal ``n`` (see :func:`chunk_pieces` for the slicing
+    contract, including the empty-blob convention).
     """
-    n_chunks = F.greatest(
-        F.ceil(F.length(F.col(data_col)) / F.lit(chunk_size)), F.lit(1)
-    ).cast("int")
-    pieces = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.col(data_col).substr(i * chunk_size + 1, F.lit(chunk_size)),
-    )
     return df.select(
         F.col(id_col).alias("files_id"),
-        F.posexplode(pieces).alias("n", "data"),
+        F.posexplode(chunk_pieces(data_col, chunk_size)).alias("n", "data"),
     )
 
 

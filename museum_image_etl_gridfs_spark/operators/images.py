@@ -15,10 +15,22 @@ container:
 - :class:`PILCodec` — the production JPEG path, import-gated; decode
   raises ImportError (not a silent fake) when PIL is absent.
 
-Scale notes: binary work is sized by BYTES not rows — callers set
-``spark.sql.files.maxPartitionBytes`` / repartition so a partition's
-blobs fit executor memory (SURVEY.md §4 hard-parts list); the
-transform itself is embarrassingly parallel (no shuffle).
+Scale notes: binary work is sized by BYTES not rows, enforced at TWO
+levels (SURVEY.md §4 hard-parts list):
+
+- **inside the operators** — every blob-producing mapInPandas stage
+  slices its work so no in-flight pandas frame exceeds
+  ``_TARGET_BATCH_BYTES`` of estimated OUTPUT blob bytes. Arrow caps
+  input batches by ROWS (``maxRecordsPerBatch``, default 10k), which
+  is the wrong unit here: 10k rows of 2 KB thumbnails arrive as one
+  23 MB batch, but transforming them to 224×224 would materialize a
+  1.5 GB output frame per core — ×32 cores, the r7 sf1 blow-up
+  (545 s swept). The operator protects ANY caller.
+- **in the queries** — :func:`bytes_sized_partitions` derives the
+  partition count from estimated output bytes so task memory stays
+  bounded and parallelism tracks blob volume, not input row count.
+
+The transform itself is embarrassingly parallel (no shuffle).
 """
 
 from __future__ import annotations
@@ -32,6 +44,35 @@ from pyspark.sql import functions as F
 
 _MAGIC = b"RAW0"
 _HEADER = struct.Struct("<4sii")  # magic, width, height
+
+#: max estimated OUTPUT bytes a single in-flight pandas batch may hold
+#: inside a blob-producing mapInPandas stage; also the per-partition
+#: byte target for :func:`bytes_sized_partitions`. 64 MB keeps
+#: 32 concurrent Python workers around ~2 GB of peak batch memory
+#: while staying far above Arrow framing overhead.
+_TARGET_BATCH_BYTES = 64 << 20
+
+
+def _bounded(pdf, est_row_bytes: int):
+    """Yield ``pdf`` in slices of at most ``_TARGET_BATCH_BYTES /
+    est_row_bytes`` rows, so downstream per-slice blob work never
+    materializes an unbounded frame."""
+    rows_per = max(1, _TARGET_BATCH_BYTES // max(int(est_row_bytes), 1))
+    for i in range(0, len(pdf), rows_per):
+        yield pdf.iloc[i : i + rows_per]
+
+
+def bytes_sized_partitions(
+    df: DataFrame, n_rows: int, est_row_bytes: int
+) -> int:
+    """Partition count for a blob stage: enough partitions that each
+    holds ~``_TARGET_BATCH_BYTES`` of estimated OUTPUT blobs, floored
+    at defaultParallelism so small inputs still use every core. The
+    row count is the caller's (one metadata-cheap ``count()`` on the
+    pruned scan — the same documented eager pattern as the simjoin's
+    occurrence probe)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return max(cores, -(-int(n_rows) * int(est_row_bytes) // _TARGET_BATCH_BYTES))
 
 
 class RawCodec:
@@ -126,20 +167,23 @@ def synthesize_images(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
 
+    est = width * height * 3 + 64  # output blob + key columns
+
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
         y, x, c = np.ogrid[0:height, 0:width, 0:3]
         base = (y * 7 + x * 3 + c).astype(np.int64)
-        for pdf in batches:
-            blobs = [
-                RawCodec.encode(((int(k) * 31 + base) % 256).astype("uint8"))
-                for k in pdf[key_col]
-            ]
-            pdf = pdf.copy()
-            pdf["image"] = pd.Series(blobs, index=pdf.index, dtype=object)
-            yield pdf
+        for full in batches:
+            for pdf in _bounded(full, est):
+                blobs = [
+                    RawCodec.encode(((int(k) * 31 + base) % 256).astype("uint8"))
+                    for k in pdf[key_col]
+                ]
+                pdf = pdf.copy()
+                pdf["image"] = pd.Series(blobs, index=pdf.index, dtype=object)
+                yield pdf
 
     return df.mapInPandas(gen, f"{out_fields}, image binary")
 
@@ -163,23 +207,34 @@ def transform_images(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
 
+    # output row carries BOTH the source blob (all input fields pass
+    # through) and the resized one — bound slices by their sum, using
+    # the batch's measured input blob size
+    out_blob = size[0] * size[1] * 3 + 16
+
     def tx(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        for pdf in batches:
-            out, status = [], []
-            for blob in pdf[image_col]:
-                try:
-                    arr = codec.decode(bytes(blob))
-                    out.append(codec.encode(codec.resize(arr, size)))
-                    status.append("ok")
-                except Exception as e:  # noqa: BLE001 - quarantine row
-                    out.append(None)
-                    status.append(f"error:{type(e).__name__}")
-            pdf = pdf.copy()
-            pdf[out_col] = pd.Series(out, index=pdf.index, dtype=object)
-            pdf[f"{out_col}_status"] = pd.Series(status, index=pdf.index)
-            yield pdf
+        for full in batches:
+            in_blob = (
+                int(full[image_col].map(lambda b: len(b) if b is not None else 0).mean())
+                if len(full)
+                else 0
+            )
+            for pdf in _bounded(full, in_blob + out_blob):
+                out, status = [], []
+                for blob in pdf[image_col]:
+                    try:
+                        arr = codec.decode(bytes(blob))
+                        out.append(codec.encode(codec.resize(arr, size)))
+                        status.append("ok")
+                    except Exception as e:  # noqa: BLE001 - quarantine row
+                        out.append(None)
+                        status.append(f"error:{type(e).__name__}")
+                pdf = pdf.copy()
+                pdf[out_col] = pd.Series(out, index=pdf.index, dtype=object)
+                pdf[f"{out_col}_status"] = pd.Series(status, index=pdf.index)
+                yield pdf
 
     return df.mapInPandas(
         tx, f"{out_fields}, {out_col} binary, {out_col}_status string"
@@ -199,19 +254,25 @@ def image_features(
     def fx(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        for pdf in batches:
-            ws, hs, means = [], [], []
-            for blob in pdf[image_col]:
-                arr = codec.decode(bytes(blob))
-                h, w, _ = arr.shape
-                ws.append(w)
-                hs.append(h)
-                means.append([float(m) for m in arr.mean(axis=(0, 1))])
-            pdf = pdf.copy()
-            pdf["width"] = ws
-            pdf["height"] = hs
-            pdf["channel_means"] = pd.Series(means, index=pdf.index, dtype=object)
-            yield pdf
+        for full in batches:
+            in_blob = (
+                int(full[image_col].map(lambda b: len(b) if b is not None else 0).mean())
+                if len(full)
+                else 0
+            )
+            for pdf in _bounded(full, in_blob + 64):
+                ws, hs, means = [], [], []
+                for blob in pdf[image_col]:
+                    arr = codec.decode(bytes(blob))
+                    h, w, _ = arr.shape
+                    ws.append(w)
+                    hs.append(h)
+                    means.append([float(m) for m in arr.mean(axis=(0, 1))])
+                pdf = pdf.copy()
+                pdf["width"] = ws
+                pdf["height"] = hs
+                pdf["channel_means"] = pd.Series(means, index=pdf.index, dtype=object)
+                yield pdf
 
     return df.mapInPandas(
         fx, f"{out_fields}, width int, height int, channel_means array<float>"

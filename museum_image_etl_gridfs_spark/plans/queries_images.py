@@ -90,44 +90,49 @@ def image_etl_gridfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     resize to 224x224 (src/transform_load.py:97) and store via GridFS
     chunking at the 255 KB default — every transformed image fits one
     chunk, exactly as the reference's artifacts show
-    (fs_transformed_chunks_view.png: only n=0; BASELINE.md). One
-    distributed pass: synthesize -> decode -> resize -> encode ->
-    chunk -> descriptor join; the only shuffle is chunk reassembly's
-    groupBy (skipped here — we verify the write-side layout).
+    (fs_transformed_chunks_view.png: only n=0; BASELINE.md).
+
+    ONE linear pass, ZERO shuffles past the byte-sizing exchange:
+    synthesize -> decode -> resize -> encode -> per-doc chunk layout
+    (``chunk_pieces`` — the identical slicing arithmetic
+    ``chunk_binary`` explodes, aggregated in place; explode +
+    reassembly are oracle-exercised by gridfs_chunk_plan /
+    gridfs_roundtrip). The r7 shape instead JOINED three branches
+    (blobs x descriptors x chunk counts) all derived from the same two
+    mapInPandas stages — Spark cannot common-subexpression a Python
+    stage, so the 224x224 synth+resize ran once per branch and the r8
+    solo-clean sf1 adjudication read 185 s engine-side (545 s in r7's
+    loadavg-39 sweep window). Single-pass + byte-sized partitions
+    (~64 MB of output blobs per task, derived from the measured row
+    count — the SURVEY §4 "size by bytes, not rows" rule, now enforced
+    here and inside the operators rather than in a docstring).
     """
-    from ..operators.gridfs import GRIDFS_CHUNK_SIZE, chunk_binary, file_descriptors
+    from ..operators.gridfs import GRIDFS_CHUNK_SIZE, chunk_pieces
+    from ..operators.images import bytes_sized_partitions
 
     docs = load(spark, "documents", sf_dir).select("doc_id")
+    # eager O(1)-result row-count probe (metadata-cheap on parquet) —
+    # the byte-sizing input; same documented eager pattern as the
+    # simjoin's occurrence probe
+    out_blob = 224 * 224 * 3 + _HEADER
+    nparts = bytes_sized_partitions(docs, docs.count(), out_blob)
     imgs = synthesize_images(
-        spread(docs, "doc_id"), "doc_id", width=_SRC_W, height=_SRC_H
+        spread(docs, "doc_id", target=nparts),
+        "doc_id",
+        width=_SRC_W,
+        height=_SRC_H,
     )
     transformed = transform_images(imgs, "image", size=(224, 224), codec=RawCodec)
-    blobs = transformed.select(
+    return transformed.select(
         "doc_id",
-        F.col("image_transformed").alias("blob"),
-        F.col("image_transformed_status").alias("status"),
-    )
-    files = file_descriptors(
-        blobs,
-        "doc_id",
-        "blob",
-        filename_col=F.concat(
-            F.col("doc_id").cast("string"), F.lit("_transformed.jpg")
+        F.length("image_transformed").cast("long").alias("transformed_len"),
+        F.size(chunk_pieces("image_transformed", GRIDFS_CHUNK_SIZE))
+        .cast("long")
+        .alias("n_chunks"),
+        F.concat(F.col("doc_id").cast("string"), F.lit("_transformed.jpg")).alias(
+            "filename"
         ),
-        chunk_size=GRIDFS_CHUNK_SIZE,
-    ).select(F.col("_id"), F.col("filename"), F.col("length"))
-    chunks = chunk_binary(blobs, "doc_id", "blob", chunk_size=GRIDFS_CHUNK_SIZE)
-    per_file = chunks.groupBy("files_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    return (
-        blobs.join(files, blobs["doc_id"] == files["_id"])
-        .join(per_file, blobs["doc_id"] == per_file["files_id"])
-        .select(
-            "doc_id",
-            F.col("length").alias("transformed_len"),
-            "n_chunks",
-            "filename",
-            "status",
-        )
+        F.col("image_transformed_status").alias("status"),
     )
 
 

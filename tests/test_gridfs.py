@@ -120,3 +120,39 @@ def test_roundtrip_property(spark, blobs, chunk_size):
     # fixture health check does not apply
     got = _roundtrip(spark, blobs, chunk_size)
     assert got == {i: b for i, b in enumerate(blobs)}
+
+
+def test_chunk_pieces_matches_exploded_chunks(spark):
+    """The per-doc layout facts image_etl_gridfs reads off the
+    chunk_pieces ARRAY (count, per-piece lengths, concatenation) must
+    agree with the exploded chunk_binary rows for every edge length —
+    the aggregate-in-place form is the same write-side layout."""
+    from museum_image_etl_gridfs_spark.operators.gridfs import chunk_pieces
+
+    blobs = [
+        b"",
+        b"x",
+        b"a" * (CHUNK - 1),
+        b"b" * CHUNK,
+        b"c" * (CHUNK + 1),
+        b"d" * (CHUNK * 3),
+        bytes(range(256)) * 2,
+    ]
+    df = _blobs_df(spark, blobs)
+    via_array = {
+        r["id"]: (r["n"], [bytes(p) for p in r["pieces"]])
+        for r in df.select(
+            "id",
+            F.size(chunk_pieces("blob", CHUNK)).alias("n"),
+            chunk_pieces("blob", CHUNK).alias("pieces"),
+        ).collect()
+    }
+    exploded = chunk_binary(df, "id", "blob", CHUNK).collect()
+    via_rows: dict[int, list] = {}
+    for r in sorted(exploded, key=lambda r: (r["files_id"], r["n"])):
+        via_rows.setdefault(r["files_id"], []).append(bytes(r["data"]))
+    for i, blob in enumerate(blobs):
+        n, pieces = via_array[i]
+        assert n == len(via_rows[i]) == max(1, -(-len(blob) // CHUNK))
+        assert pieces == via_rows[i]
+        assert b"".join(pieces) == blob
