@@ -1087,3 +1087,275 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(Q.hash_bucket("doc_id", 1_000_000) < F.col("rate_ppm"))
         .select("doc_id", "source", "rate_ppm")
     )
+
+
+#: UniMax parameters: per-slice epoch cap E and the sampling budget as
+#: a multiple of the corpus size (B = floor(1.5·N) examples — above
+#: 1·N so the low-resource slices actually hit the epoch cap, the
+#: regime UniMax was designed for).
+_UNIMAX_EPOCHS = 2
+_UNIMAX_BUDGET = 1.5
+
+
+@query(
+    "unimax_mixture_sample",
+    oracle=f"""
+    WITH n AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+        FROM documents GROUP BY 1),
+    w AS (
+        SELECT lang, n_l, {_UNIMAX_EPOCHS} * n_l AS cap,
+               ROW_NUMBER() OVER (ORDER BY n_l, lang) AS i,
+               COALESCE(SUM({_UNIMAX_EPOCHS} * n_l) OVER (
+                   ORDER BY n_l, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_prev,
+               COUNT(*) OVER () AS k,
+               CAST(floor({_UNIMAX_BUDGET} * (SUM(n_l) OVER ())) AS BIGINT)
+                   AS budget
+        FROM n),
+    c AS (
+        SELECT *, (cap * (k - i + 1) <= budget - cum_prev) AS is_capped
+        FROM w),
+    s AS (
+        SELECT *,
+               SUM(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+               COALESCE(SUM(CASE WHEN is_capped THEN cap END) OVER (), 0)
+                   AS capped_total
+        FROM c),
+    r AS (
+        SELECT lang,
+               CASE WHEN is_capped THEN CAST({_UNIMAX_EPOCHS} AS DOUBLE)
+                    ELSE (CAST(budget - capped_total AS DOUBLE)
+                          / CAST(k - n_capped AS DOUBLE))
+                         / CAST(n_l AS DOUBLE) END AS rate
+        FROM s),
+    e AS (
+        SELECT lang, CAST(floor(rate) AS INTEGER) AS full_epochs,
+               CAST(round((rate - floor(rate)) * 1000000, 0) AS BIGINT)
+                   AS frac_ppm
+        FROM r)
+    SELECT d.doc_id, d.lang,
+           CAST(e.full_epochs
+                + CASE WHEN {_sql_hash_bucket('CAST(doc_id AS VARCHAR)', 1_000_000)}
+                            < e.frac_ppm
+                       THEN 1 ELSE 0 END AS INTEGER) AS copies
+    FROM documents d JOIN e USING (lang)
+    WHERE e.full_epochs
+          + CASE WHEN {_sql_hash_bucket('CAST(doc_id AS VARCHAR)', 1_000_000)}
+                      < e.frac_ppm
+                 THEN 1 ELSE 0 END > 0
+    """,
+    tags=("sampling", "mixing", "unimax", "extension"),
+)
+def unimax_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture sampling (Chung et al., ICLR'23 "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining" — public method): instead of a temperature knob, give
+    every language slice as close to a UNIFORM share of the budget as
+    possible subject to a per-slice epoch cap E — low-resource slices
+    repeat up to E epochs, high-resource slices are downsampled to the
+    leftover uniform share. The allocation is the classic waterfill:
+    the threshold t with Σ_l min(E·n_l, t) = B, alloc_l = min(E·n_l, t).
+
+    Solved here in CLOSED FORM over the O(langs) count table — no
+    iterative driver loop: sort slices by capacity ascending; slice i
+    is capped iff cap_i·(k−i+1) ≤ B − Σ_{{j<i}} cap_j (an all-INTEGER
+    test, so the capped set is bit-identical across engines); the
+    water level for the uncapped remainder is one double division of
+    integer aggregates. Per-doc realization: ``copies`` = ⌊rate⌋ full
+    epochs + 1 more iff the md5 hash bucket clears the fractional part
+    in ppm — RNG-free, row-for-row reproducible (same convention as
+    ``temperature_mixture_sample``, which this complements: that
+    derives q_s ∝ n_s^τ, this derives the UniMax allocation).
+
+    Scale shape: one map-side-combined per-lang count; every window
+    here runs over the O(langs) MIXTURE table (mixture-definition
+    sized, not data-sized — a global window over it is O(langs), never
+    a corpus sort); the rate table broadcasts back and the corpus pass
+    is a narrow filter at scan speed.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, "documents", sf_dir)
+    asc = Window.orderBy("n_l", "lang")
+    prev = asc.rowsBetween(Window.unboundedPreceding, -1)
+    full = asc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .withColumn("cap", F.lit(_UNIMAX_EPOCHS) * F.col("n_l"))
+        .withColumn("i", F.row_number().over(asc))
+        .withColumn(
+            "cum_prev", F.coalesce(F.sum("cap").over(prev), F.lit(0))
+        )
+        .withColumn("k", F.count(F.lit(1)).over(full))
+        .withColumn(
+            "budget",
+            F.floor(F.lit(_UNIMAX_BUDGET) * F.sum("n_l").over(full)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "is_capped",
+            F.col("cap") * (F.col("k") - F.col("i") + 1)
+            <= F.col("budget") - F.col("cum_prev"),
+        )
+        .withColumn(
+            "n_capped", F.sum(F.col("is_capped").cast("int")).over(full)
+        )
+        .withColumn(
+            "capped_total",
+            F.coalesce(
+                F.sum(F.when(F.col("is_capped"), F.col("cap"))).over(full),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "rate",
+            F.when(
+                F.col("is_capped"), F.lit(float(_UNIMAX_EPOCHS))
+            ).otherwise(
+                (
+                    (F.col("budget") - F.col("capped_total")).cast("double")
+                    / (F.col("k") - F.col("n_capped")).cast("double")
+                )
+                / F.col("n_l").cast("double")
+            ),
+        )
+        .withColumn("full_epochs", F.floor("rate").cast("int"))
+        .withColumn(
+            "frac_ppm",
+            F.round((F.col("rate") - F.floor("rate")) * 1_000_000, 0).cast(
+                "long"
+            ),
+        )
+        .select("lang", "full_epochs", "frac_ppm")
+    )
+    return (
+        docs.join(F.broadcast(e), "lang")
+        .withColumn(
+            "copies",
+            (
+                F.col("full_epochs")
+                + (Q.hash_bucket("doc_id", 1_000_000) < F.col("frac_ppm")).cast(
+                    "int"
+                )
+            ).cast("int"),
+        )
+        .filter(F.col("copies") > 0)
+        .select("doc_id", "lang", "copies")
+    )
+
+
+#: hashed-feature bucket count for the linear quality classifier —
+#: weights are exact multiples of 1/4096, so integer-unit accumulation
+#: is lossless.
+_FT_B = 4096
+#: Knuth's multiplicative-hash constant: spreads bucket ids into
+#: pseudo-random but fully deterministic stand-in weights.
+_FT_MIX = 2654435761
+
+
+@query(
+    "linear_quality_classifier",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_WORDS_LOWER} AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_concat(w,
+                   CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i+1]) END)
+                   AS g
+        FROM w),
+    s AS (
+        SELECT doc_id, len(g) AS n_tok,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(g,
+                       t -> ({_sql_hash_bucket('t', _FT_B)} * {_FT_MIX})
+                            % {_FT_B} - {_FT_B // 2})),
+                   (a, b) -> a + b) AS num
+        FROM g)
+    SELECT doc_id,
+           -- + 0.0 folds IEEE negative zero (round of a tiny negative
+           -- score) to +0.0 so both engines hash identically
+           CASE WHEN n_tok > 0
+                THEN round(CAST(num AS DOUBLE) / ({_FT_B}.0 * n_tok), 4) + 0.0
+                ELSE 0.0 END AS ft_score,
+           (n_tok > 0 AND num > 0) AS keep
+    FROM s
+    """,
+    tags=("quality", "classifier", "extension"),
+)
+def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering via a fastText-style linear text
+    classifier (Joulin et al., EACL'17 "Bag of Tricks for Efficient
+    Text Classification" — the public method behind the CCNet /
+    LLaMA-lineage quality filters): hashed bag of word uni+bigrams,
+    mean of per-feature weights, sign threshold. The weights here are
+    a deterministic stand-in (Knuth multiplicative mix of the bucket
+    id into exact multiples of 1/{_FT_B}) — a trained model would ship
+    a real weight table through the identical plan: hash → weight
+    lookup → mean → threshold is exactly fastText's inference path.
+
+    Exactness: per-feature weights are integer UNITS (numerator over
+    the fixed {_FT_B} denominator), so the per-doc accumulation is a
+    BIGINT sum — order-independent across engines and partitionings by
+    construction (the registry determinism rule, same reasoning as
+    dsir_importance_weights' DECIMAL sums); the single double division
+    happens once per doc on identical operands.
+
+    Scale shape: one feature explode into a map-side-combined per-doc
+    BIGINT sum — whole-stage codegen end to end, one narrow-key
+    shuffle, zero Python. Two rejected shapes, both measured at sf1:
+    an ``aggregate()`` higher-order fold (interpreted per-token lambda,
+    154 s — the duplicated_spans r7 lesson), and carrying
+    ``n_tok = size(g)`` through the explode as a group key (404 s:
+    CollapseProject inlines a once-referenced alias, so the full
+    regexp tokenization re-evaluated per EXPLODED row inside the
+    aggregate). ``n_tok`` is instead ``count(t)`` in the SAME
+    aggregate — explode_outer emits one NULL for empty docs and
+    count() skips it, so the token count is exact with no carried
+    expression. This shape: ~12 s at sf1. The "model" is O(1) in the
+    plan (an arithmetic expression); a real weight table would be an
+    O({_FT_B}) broadcast join on the exploded stream.
+    """
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    w = Q.words(F.lower(F.col("text")))
+    g = F.concat(w, Q.word_ngrams(w, 2))
+    feats = docs.select(
+        "doc_id",
+        F.explode_outer(g).alias("t"),  # keep zero-token docs (NULL t)
+    )
+    unit = F.when(F.col("t").isNull(), F.lit(0).cast("long")).otherwise(
+        (Q.hash_bucket(F.col("t"), _FT_B).cast("long") * F.lit(_FT_MIX))
+        % F.lit(_FT_B)
+        - F.lit(_FT_B // 2)
+    )
+    out = (
+        feats.select("doc_id", "t", unit.alias("u"))
+        .groupBy("doc_id")
+        .agg(F.count("t").alias("n_tok"), F.sum("u").alias("num"))
+    )
+    return out.select(
+        "doc_id",
+        F.when(
+            F.col("n_tok") > 0,
+            # + 0.0 folds IEEE -0.0 (round of a tiny negative score)
+            # to +0.0, mirroring the oracle — the hash formats floats
+            # by value STRING, and "-0" != "0"
+            F.round(
+                F.col("num").cast("double")
+                / (F.lit(float(_FT_B)) * F.col("n_tok")),
+                4,
+            )
+            + F.lit(0.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ft_score"),
+        ((F.col("n_tok") > 0) & (F.col("num") > 0)).alias("keep"),
+    )

@@ -237,3 +237,76 @@ def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
     )
     means = {r[0]: r["m"] for r in by_side}
     assert means[True] > means[False]
+
+
+def test_unimax_waterfill_invariants(spark, sf_dir):
+    """UniMax allocation semantics on the real fixture: every slice's
+    realized expected copies = min(E*n_l, t)/n_l — so (a) no slice
+    exceeds the epoch cap, (b) capped slices sit EXACTLY at the cap,
+    (c) the expected total equals the budget when any slice is
+    uncapped (waterfill conservation), and (d) the result equals the
+    whole corpus joined to per-lang rates (deterministic, RNG-free)."""
+    from museum_image_etl_gridfs_spark.catalog import load
+    from museum_image_etl_gridfs_spark.plans.queries_quality import (
+        _UNIMAX_BUDGET,
+        _UNIMAX_EPOCHS,
+    )
+
+    out = all_queries()["unimax_mixture_sample"].build(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir).select("doc_id", "lang")
+    n_l = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    big_n = sum(n_l.values())
+    budget = int(_UNIMAX_BUDGET * big_n)
+
+    # reference waterfill in plain python: ascending caps; slice is
+    # capped iff cap*k_left <= remaining (the same integer test the
+    # engine uses); once the water level t is set, every later slice
+    # gets t (capped-ness is prefix-closed over ascending caps)
+    caps = sorted(((_UNIMAX_EPOCHS * n, lang) for lang, n in n_l.items()))
+    remaining, k_left, alloc = budget, len(caps), {}
+    t = None
+    for cap, lang in caps:
+        if t is None and cap * k_left <= remaining:
+            alloc[lang] = cap
+            remaining -= cap
+        else:
+            if t is None:
+                t = remaining / k_left
+            alloc[lang] = t
+        k_left -= 1
+    if t is not None:  # waterfill conservation: uncapped shares fill B
+        assert abs(sum(alloc.values()) - budget) < 1e-6
+
+    rows = out.collect()
+    assert all(r["copies"] >= 1 for r in rows)
+    # per-lang realized expectation: full_epochs*n_l + |{hash<frac}|
+    got = {}
+    for r in rows:
+        got[r["lang"]] = got.get(r["lang"], 0) + r["copies"]
+    for lang, a in alloc.items():
+        cap = _UNIMAX_EPOCHS * n_l[lang]
+        assert got.get(lang, 0) <= cap
+        if a == cap:  # capped slice: every doc at exactly E copies
+            assert got[lang] == cap
+        else:  # uncapped: within the hash-realization of the rate
+            # realized = floor(a/n)*n + #{hash<frac}: off by the hash
+            # sample's deviation, bounded loosely here
+            assert abs(got[lang] - a) <= max(0.15 * n_l[lang], 8)
+
+
+def test_linear_classifier_total_and_score_range(spark, sf_dir):
+    """fastText-style scorer: total function of the corpus (one row
+    per doc), scores bounded by the weight range [-0.5, 0.5), and keep
+    agrees with the score sign for non-empty docs."""
+    from museum_image_etl_gridfs_spark.catalog import load
+
+    out = all_queries()["linear_quality_classifier"].build(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert -0.5 <= r["ft_score"] <= 0.5
+        if r["ft_score"] > 0:
+            assert r["keep"]
+        if r["keep"]:
+            assert r["ft_score"] > 0 or abs(r["ft_score"]) < 5e-5
