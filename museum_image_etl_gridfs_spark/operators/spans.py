@@ -194,3 +194,85 @@ def duplicated_spans(
         F.min("pos").alias("span_start"),
         (F.max("pos") + F.lit(k - 1)).alias("span_end"),
     ).drop("__island")
+
+
+def top_dup_grams(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-``top_n`` corpus-wide duplicated k-grams:
+    (gram, occurrences, doc_freq), ordered (occurrences DESC, gram).
+
+    Hash-first: counting runs entirely on the codegen
+    :func:`gram_hash_occurrences` stream — the gram STRING is built
+    for O(top_n + boundary ties) representative occurrences only,
+    never for the corpus (the all-strings formulation paid an
+    interpreted slice+concat_ws per gram: 65 s → ~4 s engine-side at
+    sf1). Stages:
+
+    1. ONE per-hash aggregate carrying (occurrences, doc_freq, and a
+       min-struct representative (id, pos)) — map-side combined, one
+       shuffle on the hash; the occurrence stream is consumed exactly
+       once (a separate representative pass re-ran the whole
+       tokenize+window stream: 13.9 s vs 7.5 s at sf1);
+    2. boundary threshold = the ``top_n``-th largest occurrence count
+       (a ``limit(top_n)`` + 1-row min, broadcast back); every hash AT
+       the boundary survives because the final order tie-breaks on the
+       gram string, which is unknown at hash level;
+    3. the O(top_n + ties) survivors join their representative docs'
+       token arrays to rebuild just those strings — small side
+       planner-broadcast, one narrow corpus re-scan;
+    4. final exact (occurrences DESC, gram) order + limit.
+
+    Gram identity is the 64-bit hash — the same 2⁻⁶⁴-per-pair
+    fingerprint trade :func:`duplicated_spans` documents (a colliding
+    pair would merge counts and report the representative's string).
+    """
+    occ_h = gram_hash_occurrences(df, id_col=id_col, text_col=text_col, k=k)
+    hstats = (
+        occ_h.groupBy("__gh")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct(id_col).alias("doc_freq"),
+            F.min(
+                F.struct(F.col(id_col).alias("id"), F.col("pos").alias("pos"))
+            ).alias("r"),
+        )
+        .filter(F.col("occurrences") >= min_count)
+    )
+    th = (
+        hstats.orderBy(F.desc("occurrences"), "__gh")
+        .limit(top_n)
+        .agg(F.min("occurrences").alias("__min_occ"))
+    )
+    cand = (
+        hstats.crossJoin(F.broadcast(th))
+        .filter(F.col("occurrences") >= F.col("__min_occ"))
+        .select(
+            "__gh",
+            "occurrences",
+            "doc_freq",
+            F.col("r.id").alias("id"),
+            F.col("r.pos").alias("pos"),
+        )
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), norm_tokens(text_col).alias("__ts")
+    )
+    return (
+        cand.join(toks, "id")
+        .select(
+            F.concat_ws(
+                " ", F.slice(F.col("__ts"), F.col("pos").cast("int"), k)
+            ).alias("gram"),
+            "occurrences",
+            "doc_freq",
+        )
+        .orderBy(F.desc("occurrences"), "gram")
+        .limit(top_n)
+    )

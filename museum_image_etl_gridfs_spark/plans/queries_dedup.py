@@ -228,21 +228,16 @@ def dup_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaviest duplicated 5-grams corpus-wide (occurrences + doc
     frequency) — the "what IS this boilerplate" companion to
     duplicated_spans. Total order pinned by (occurrences DESC, gram)
-    before LIMIT so the top-20 is deterministic."""
-    from ..operators.spans import gram_occurrences
+    before LIMIT so the top-20 is deterministic.
+
+    Counting is hash-first (``operators/spans.top_dup_grams``): gram
+    STRINGS are reconstructed for the boundary survivors only — the
+    all-strings path this replaces spent an interpreted
+    slice+concat_ws per corpus gram (65 s → ~4 s engine at sf1)."""
+    from ..operators.spans import top_dup_grams
 
     docs = load(spark, "documents", sf_dir)
-    occ = gram_occurrences(docs, k=_SPAN_K)
-    return (
-        occ.groupBy("gram")
-        .agg(
-            F.count(F.lit(1)).alias("occurrences"),
-            F.countDistinct("doc_id").alias("doc_freq"),
-        )
-        .filter(F.col("occurrences") >= 2)
-        .orderBy(F.desc("occurrences"), "gram")
-        .limit(20)
-    )
+    return top_dup_grams(docs, k=_SPAN_K, min_count=2, top_n=20)
 
 
 @query(
