@@ -374,26 +374,33 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Spark shape per iteration is join(ranks, edges on src) →
     groupBy(dst) → weighted sum: the rank table is tiny (one row per
     brand) so AQE broadcasts it and each iteration costs one
-    shuffle-free pass over edges plus a small aggregate. The
-    expensive, genuinely distributed stage is the one-time edge
-    extraction (distinct + basket self-join on the order key). The
+    shuffle-free pass over edges plus a small aggregate. The one-time
+    edge extraction collects each order's distinct brand set and
+    DOUBLE-EXPLODES it — pairs are generated map-side off one
+    groupBy(order) exchange; the basket SELF-JOIN this replaces
+    shuffled the (order, brand) stream twice and re-ran the whole
+    extraction a second time for the node count (solo sf1: 50.8 s →
+    this shape ~7 s). Per-order arrays are bounded by the brand
+    universe, so the explode fan-out is |brands|² per order worst
+    case — the same pairs the join built, without the shuffle. The
     graph is symmetric so there are no dangling nodes. Scores are
     rounded to 9 decimals for cross-engine float-sum-order
     independence (same route as unigram_lm_scores).
     """
     li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     brands = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
-    ob = (
+    per_order = (
         li.join(F.broadcast(brands), li["l_partkey"] == brands["p_partkey"])
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    a = ob.select(F.col("ok"), F.col("b").alias("src"))
-    c = ob.select(F.col("ok").alias("ok2"), F.col("b").alias("dst"))
-    e = (
-        a.join(c, (a["ok"] == c["ok2"]) & (a["src"] != c["dst"]))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    pairs = (
+        per_order.select(F.explode("bs").alias("src"), "bs")
+        .select("src", F.explode("bs").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    e = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     ne = e.join(outw, "src").select(
@@ -410,7 +417,11 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an ExistingRDD stub.) Tracked: lifecycle.release_checkpoints
     # reclaims the per-iteration blocks after the caller materializes.
     ne = tracked_local_checkpoint(ne)
-    n_nodes = float(outw.count())
+    # node count READS THE CHECKPOINT (src side of every edge exists —
+    # symmetric graph): counting from the pre-checkpoint `outw` would
+    # execute the whole extraction DAG a second time just for this
+    # scalar.
+    n_nodes = float(ne.select("src").distinct().count())
     ranks = outw.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr")
     )
