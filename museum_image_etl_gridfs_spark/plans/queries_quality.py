@@ -1250,6 +1250,99 @@ def unimax_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, unnest(w) AS term
+        FROM (SELECT doc_id, lang, {_SQL_WORDS_LOWER} AS w FROM documents)),
+    cnt AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+    tot AS (SELECT sum(c) AS n FROM cnt),
+    sc AS (
+        SELECT t.doc_id, t.lang, count(*) AS nw,
+               sum(CAST(round(ln(cnt.c / tot.n), 8) AS DECIMAL(20,8))) AS s
+        FROM t JOIN cnt USING (term) CROSS JOIN tot
+        GROUP BY t.doc_id, t.lang),
+    scored AS (
+        SELECT doc_id, lang,
+               round(-CAST(s AS DOUBLE) / nw, 4) AS avg_nll
+        FROM sc),
+    b AS (
+        SELECT doc_id, lang, avg_nll,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_nll, doc_id) AS nt
+        FROM scored)
+    SELECT doc_id, lang, avg_nll,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           (nt < 3) AS keep
+    FROM b
+    """,
+    tags=("quality", "perplexity", "ccnet", "extension"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC'20 —
+    public method): score every document under a language model (here
+    the corpus-unigram LM, the same exactness route as
+    ``unigram_lm_scores``: per-token log-prob rounded to 8 decimals
+    then DECIMAL-summed, order/partitioning-independent), split each
+    language into head/middle/tail perplexity terciles, keep
+    head+middle — CCNet's published recipe for web-corpus quality
+    stratification.
+
+    Tercile assignment is ``ntile(3)`` over (avg_nll, doc_id) per
+    lang — deterministic (the score is rounded to 4 decimals and the
+    id breaks ties) and identical ANSI semantics in both engines. The
+    per-lang window is an exact total order; at 100 TB one would
+    compute the two cutoff VALUES from a distributed quantile pass
+    (operators/quantiles.py) and assign buckets in a scan — the
+    fixture-verifiable exact form is the ntile, and the docstring is
+    the map to the sketch-cutoff variant. Only docs with >= 1 word
+    appear (the LM is undefined on empty docs — same domain as
+    unigram_lm_scores).
+    """
+    from pyspark.sql.window import Window
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.explode_outer(Q.words(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    cnt = t.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy().agg(F.sum("c").alias("n"))
+    logp = F.round(F.log(F.col("c") / F.col("n")), 8).cast("decimal(20,8)")
+    sc = (
+        t.join(F.broadcast(cnt), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("nw"), F.sum(logp).alias("s"))
+    )
+    scored = sc.select(
+        "doc_id",
+        "lang",
+        F.round(-F.col("s").cast("double") / F.col("nw"), 4).alias("avg_nll"),
+    )
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        nt.alias("nt"),
+    ).select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.when(F.col("nt") == 1, F.lit("head"))
+        .when(F.col("nt") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        (F.col("nt") < 3).alias("keep"),
+    )
+
+
 #: hashed-feature bucket count for the linear quality classifier —
 #: weights are exact multiples of 1/4096, so integer-unit accumulation
 #: is lossless.

@@ -310,3 +310,25 @@ def test_linear_classifier_total_and_score_range(spark, sf_dir):
             assert r["keep"]
         if r["keep"]:
             assert r["ft_score"] > 0 or abs(r["ft_score"]) < 5e-5
+
+
+def test_ccnet_buckets_are_per_lang_terciles(spark, sf_dir):
+    """CCNet bucketing semantics: per lang, bucket sizes differ by at
+    most 1 (ntile contract), head mean NLL < tail mean NLL (the whole
+    point), keep == (bucket != 'tail'), and every scored doc appears
+    exactly once."""
+    out = all_queries()["ccnet_perplexity_buckets"].build(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    by_lang: dict = {}
+    for r in rows:
+        assert r["keep"] == (r["bucket"] != "tail")
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(
+            r["avg_nll"]
+        )
+    for lang, buckets in by_lang.items():
+        sizes = [len(v) for v in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        head = sum(buckets["head"]) / len(buckets["head"])
+        tail = sum(buckets["tail"]) / len(buckets["tail"])
+        assert head < tail, (lang, head, tail)
