@@ -56,10 +56,33 @@ _TARGET_BATCH_BYTES = 64 << 20
 def _bounded(pdf, est_row_bytes: int):
     """Yield ``pdf`` in slices of at most ``_TARGET_BATCH_BYTES /
     est_row_bytes`` rows, so downstream per-slice blob work never
-    materializes an unbounded frame."""
+    materializes an unbounded frame. For UNIFORM row sizes (constant
+    synthesized output) only — skew-prone inputs go through
+    :func:`_bounded_measured`."""
     rows_per = max(1, _TARGET_BATCH_BYTES // max(int(est_row_bytes), 1))
     for i in range(0, len(pdf), rows_per):
         yield pdf.iloc[i : i + rows_per]
+
+
+def _bounded_measured(pdf, row_bytes):
+    """Yield ``pdf`` in slices whose MEASURED per-row byte totals stay
+    under ``_TARGET_BATCH_BYTES``.
+
+    A mean-derived fixed row count (the old shape) overshoots on
+    size-skewed batches — a few very large blobs among many tiny ones
+    pull the mean down while a slice that happens to catch the large
+    ones blows past the target (ADVICE r8). Splitting on the running
+    cumulative sum bounds every slice exactly; a single row larger
+    than the target gets a slice of its own.
+    """
+    start, acc = 0, 0
+    for i, b in enumerate(row_bytes):
+        if acc + b > _TARGET_BATCH_BYTES and i > start:
+            yield pdf.iloc[start:i]
+            start, acc = i, 0
+        acc += b
+    if start < len(pdf):
+        yield pdf.iloc[start:]
 
 
 def bytes_sized_partitions(
@@ -209,19 +232,17 @@ def transform_images(
 
     # output row carries BOTH the source blob (all input fields pass
     # through) and the resized one — bound slices by their sum, using
-    # the batch's measured input blob size
+    # each row's MEASURED input blob size (cumulative, skew-safe)
     out_blob = size[0] * size[1] * 3 + 16
 
     def tx(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for full in batches:
-            in_blob = (
-                int(full[image_col].map(lambda b: len(b) if b is not None else 0).mean())
-                if len(full)
-                else 0
+            per_row = full[image_col].map(
+                lambda b: (len(b) if b is not None else 0) + out_blob
             )
-            for pdf in _bounded(full, in_blob + out_blob):
+            for pdf in _bounded_measured(full, per_row.tolist()):
                 out, status = [], []
                 for blob in pdf[image_col]:
                     try:
@@ -255,12 +276,10 @@ def image_features(
         import pandas as pd
 
         for full in batches:
-            in_blob = (
-                int(full[image_col].map(lambda b: len(b) if b is not None else 0).mean())
-                if len(full)
-                else 0
+            per_row = full[image_col].map(
+                lambda b: (len(b) if b is not None else 0) + 64
             )
-            for pdf in _bounded(full, in_blob + 64):
+            for pdf in _bounded_measured(full, per_row.tolist()):
                 ws, hs, means = [], [], []
                 for blob in pdf[image_col]:
                     arr = codec.decode(bytes(blob))

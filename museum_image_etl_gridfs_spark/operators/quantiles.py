@@ -497,6 +497,75 @@ def running_totals(
     return out.drop("__pid", *[f"__off_{c}" for c in value_cols])
 
 
+def ntile_exact_grouped(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    order_keys: Sequence[str],
+    k: int,
+    *,
+    out_col: str = "bucket",
+    buckets_per_core: int = 4,
+) -> DataFrame:
+    """Append ``out_col`` = exact ``ntile(k) OVER (PARTITION BY
+    group_keys ORDER BY order_keys)`` with no per-group global sort.
+
+    ``ntile`` partitioned by a low-cardinality group (language,
+    source, tenant) is the classic hidden scale-killer: every row of
+    a group flows through ONE window task, so the biggest language of
+    a 100 TB corpus becomes a single-task sort. This operator reuses
+    the global range-id machinery — count-balanced ``__pid`` buckets
+    over the ORDER keys — and layers the grouping on top:
+
+    1. ``__pid`` from :func:`_with_range_pid` (group-agnostic — the
+       buckets balance the overall order-key distribution; any one
+       group's rows within a bucket are bounded by the bucket size);
+    2. per ``(group, __pid)`` counts → per-group exclusive prefix
+       sums + totals, computed as a WINDOW over the counts relation
+       itself (O(groups × buckets) rows — never collected, never a
+       single-task stage over data);
+    3. broadcast-join the offsets back, within-``(group, __pid)``
+       ``row_number`` → exact per-group rank → ANSI ntile arithmetic
+       (first ``n % k`` buckets get ``⌈n/k⌉`` rows) as columns.
+
+    Contract: the offsets relation has ``groups × buckets`` rows and
+    is broadcast — intended for group cardinalities up to ~10⁵
+    (languages, sources), not per-user grouping. Order-key rules are
+    :func:`ntile_exact`'s: numeric non-NULL lead key, strict total
+    order over the full key list.
+    """
+    t = _with_range_pid(df, order_keys, buckets_per_core)
+    if t is None:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    gks = list(group_keys)
+    cnts = t.groupBy(*gks, "__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # per-group exclusive prefix sum + total over the tiny counts
+    # relation: each window partition holds ≤ `buckets` rows
+    wo = (
+        Window.partitionBy(*gks)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy(*gks)
+    offs = cnts.select(
+        *gks,
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__goff"),
+        F.sum("__cnt").over(wg).alias("__gn"),
+    )
+    t = t.join(F.broadcast(offs), [*gks, "__pid"])
+    local = Window.partitionBy(*gks, "__pid").orderBy(*order_keys)
+    gpos = F.col("__goff") + F.row_number().over(local)
+    base = F.floor(F.col("__gn") / k)
+    rem = F.col("__gn") % k
+    cut = rem * (base + 1)
+    bucket = F.when(gpos <= cut, (gpos - 1) / (base + 1)).otherwise(
+        rem + (gpos - cut - 1) / F.greatest(base, F.lit(1))
+    )
+    return t.withColumn(out_col, (F.floor(bucket) + 1).cast("int")).drop(
+        "__pid", "__goff", "__gn"
+    )
+
+
 def ntile_exact(
     df: DataFrame,
     order_keys: Sequence[str],

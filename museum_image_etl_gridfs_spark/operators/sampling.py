@@ -43,9 +43,11 @@ def wrs_key(id_col: Column | str, weight: Column | str, *, salt: str = "v1") -> 
     +0.5 keeps u strictly inside (0,1) so ln(u) is finite. Larger key
     = more likely sampled. Non-positive weights yield NULL: a negative
     w would flip ln(u)/w positive and outrank every valid row, and
-    w = 0 yields -Infinity — both are caller bugs, so such rows sort
-    LAST under the descending window order (Spark's DESC default is
-    NULLS LAST) instead of silently winning the reservoir.
+    w = 0 yields -Infinity — both are caller bugs.
+    :func:`weighted_reservoir_sample` filters ``key.isNotNull()``, so
+    such rows are EXCLUDED from the reservoir entirely (not sorted
+    last); a raw-``wrs_key`` caller ordering DESC sees them NULLS
+    LAST.
     """
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     w = F.col(weight) if isinstance(weight, str) else weight

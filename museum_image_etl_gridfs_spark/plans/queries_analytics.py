@@ -422,8 +422,12 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # execute the whole extraction DAG a second time just for this
     # scalar.
     n_nodes = float(ne.select("src").distinct().count())
-    ranks = outw.select(
-        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr")
+    # the initial ranks table must ALSO read the checkpoint: seeding
+    # from pre-checkpoint `outw` replays the full extraction DAG once
+    # when ranks first materializes (measured ~7 s of the 14.2 s solo
+    # sf1 cost in r8).
+    ranks = ne.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0 / n_nodes).alias("pr")
     )
     for _ in range(_PR_ITERS):
         ranks = (

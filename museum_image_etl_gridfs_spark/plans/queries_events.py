@@ -347,7 +347,7 @@ def events_dedup_rerun(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = ev.unionAll(ev)
     return doubled.dropDuplicates(["event_id"]).agg(
         F.count(F.lit(1)).alias("n_after_dedup")
-    ).crossJoin(ev.agg(F.count(F.lit(1)).alias("n_original")))
+    ).crossJoin(F.broadcast(ev.agg(F.count(F.lit(1)).alias("n_original"))))
 
 
 @query(

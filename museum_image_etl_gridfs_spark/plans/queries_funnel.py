@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import quality as Q
-from ..partitioning import spread
+from ..partitioning import size_gated_broadcast, spread
 from .registry import query
 
 #: lowercased whitespace word array (canonical mirror of
@@ -264,21 +264,25 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc sum is exact and independent of aggregation order
     (the float-sum trick from NOTES.md applied to log space).
 
-    Scale shape: vocab (post-agg, ≪ corpus) and the 1-row total are
-    both broadcast — the corpus never shuffles to look up
-    probabilities; the per-doc groupBy moves only map-side partial
-    rows (one per doc per partition).
+    Scale shape: the vocabulary join is SIZE-GATED — broadcast while
+    the measured vocab row count fits (the fixture/low-SF regime, no
+    corpus shuffle), shuffle join on ``term`` above the threshold (a
+    web-scale vocabulary is corpus-sized, not dimension-sized); the
+    1-row total is always broadcast. The per-doc groupBy moves only
+    map-side partial rows (one per doc per partition).
     """
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
     t = docs.select(
         "doc_id",
         F.explode_outer(Q.words(F.lower(F.col("text")))).alias("term"),
     ).filter(F.col("term").isNotNull())
-    cnt = t.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    cnt = size_gated_broadcast(
+        t.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    )
     tot = cnt.groupBy().agg(F.sum("c").alias("n"))
     logp = F.round(F.log(F.col("c") / F.col("n")), 8).cast("decimal(20,8)")
     sc = (
-        t.join(F.broadcast(cnt), "term")
+        t.join(cnt, "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("nw"), F.sum(logp).alias("s"))

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import quality as Q
-from ..partitioning import spread
+from ..operators.quantiles import ntile_exact_grouped
+from ..partitioning import size_gated_broadcast, spread
 from .registry import query
 
 # ---------------------------------------------------------------- SQL mirrors
@@ -1290,30 +1291,35 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     head+middle — CCNet's published recipe for web-corpus quality
     stratification.
 
-    Tercile assignment is ``ntile(3)`` over (avg_nll, doc_id) per
-    lang — deterministic (the score is rounded to 4 decimals and the
-    id breaks ties) and identical ANSI semantics in both engines. The
-    per-lang window is an exact total order; at 100 TB one would
-    compute the two cutoff VALUES from a distributed quantile pass
-    (operators/quantiles.py) and assign buckets in a scan — the
-    fixture-verifiable exact form is the ntile, and the docstring is
-    the map to the sketch-cutoff variant. Only docs with >= 1 word
+    Tercile assignment is exact ``ntile(3)`` semantics over
+    (avg_nll, doc_id) per lang — deterministic (the score is rounded
+    to 4 decimals and the id breaks ties) — but NOT a per-lang window:
+    ``ntile(3) OVER (PARTITION BY lang ...)`` funnels every document
+    of a language through ONE window task, a per-language global sort
+    that dies on the dominant language of a 100 TB corpus. Instead,
+    :func:`~..operators.quantiles.ntile_exact_grouped` assigns the
+    identical buckets through count-balanced range ids + an
+    O(langs × buckets) broadcast offset table (verified hash-identical
+    to the ANSI window oracle). The vocabulary join is size-gated the
+    same way: broadcast only while the measured vocab fits, shuffle
+    join on ``term`` above the threshold — a web-scale vocabulary is
+    corpus-sized, not dimension-sized. Only docs with >= 1 word
     appear (the LM is undefined on empty docs — same domain as
     unigram_lm_scores).
     """
-    from pyspark.sql.window import Window
-
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
     t = docs.select(
         "doc_id",
         "lang",
         F.explode_outer(Q.words(F.lower(F.col("text")))).alias("term"),
     ).filter(F.col("term").isNotNull())
-    cnt = t.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    cnt = size_gated_broadcast(
+        t.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    )
     tot = cnt.groupBy().agg(F.sum("c").alias("n"))
     logp = F.round(F.log(F.col("c") / F.col("n")), 8).cast("decimal(20,8)")
     sc = (
-        t.join(F.broadcast(cnt), "term")
+        t.join(cnt, "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("nw"), F.sum(logp).alias("s"))
@@ -1323,14 +1329,8 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.round(-F.col("s").cast("double") / F.col("nw"), 4).alias("avg_nll"),
     )
-    nt = F.ntile(3).over(
-        Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
-    )
-    return scored.select(
-        "doc_id",
-        "lang",
-        "avg_nll",
-        nt.alias("nt"),
+    return ntile_exact_grouped(
+        scored, ["lang"], ["avg_nll", "doc_id"], 3, out_col="nt"
     ).select(
         "doc_id",
         "lang",

@@ -93,3 +93,41 @@ def test_pil_codec_gated():
     except ImportError:
         with pytest.raises(ImportError, match="Pillow"):
             PILCodec.decode(b"\xff\xd8")
+
+
+def test_bounded_measured_skew_never_overshoots():
+    """ADVICE r8: a size-skewed batch (a few huge blobs among many
+    tiny ones) must never produce a slice whose measured bytes exceed
+    the target — the old mean-derived fixed row count did."""
+    import pandas as pd
+
+    from museum_image_etl_gridfs_spark.operators.images import (
+        _TARGET_BATCH_BYTES,
+        _bounded_measured,
+    )
+
+    # 990 tiny rows + 10 rows of 0.4*target each: the mean row size is
+    # ~0.4% of target => a mean-derived slice takes ~250 rows and can
+    # catch several huge rows at once (>1x target).
+    big = int(_TARGET_BATCH_BYTES * 0.4)
+    sizes = [64] * 990 + [big] * 10
+    pdf = pd.DataFrame({"i": range(len(sizes)), "b": sizes})
+    slices = list(_bounded_measured(pdf, pdf["b"].tolist()))
+    assert sum(len(s) for s in slices) == len(pdf)
+    assert pd.concat(slices)["i"].tolist() == pdf["i"].tolist()  # order+cover
+    for s in slices:
+        assert s["b"].sum() <= _TARGET_BATCH_BYTES
+
+
+def test_bounded_measured_single_oversize_row_gets_own_slice():
+    import pandas as pd
+
+    from museum_image_etl_gridfs_spark.operators.images import (
+        _TARGET_BATCH_BYTES,
+        _bounded_measured,
+    )
+
+    sizes = [100, 3 * _TARGET_BATCH_BYTES, 100]
+    pdf = pd.DataFrame({"i": range(3), "b": sizes})
+    slices = list(_bounded_measured(pdf, sizes))
+    assert [s["i"].tolist() for s in slices] == [[0], [1], [2]]

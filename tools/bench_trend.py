@@ -105,8 +105,14 @@ def contended_rows(data: dict, n_cpus: int) -> list[str]:
     for name, row in (data.get("results") or {}).items():
         noise = row.get("noise") or {}
         wall = noise.get("wall_s") or 0
-        sec = row.get("spark_sec") or row.get("sec") or 0
-        if wall <= 0 or sec < CONTENDED_MIN_S:
+        # engine-side seconds ONLY (same semantics rule the scaling
+        # gate follows, ADVICE r8): mixing spark_sec with the
+        # engine+oracle wall "sec" would compare different time
+        # semantics across rows against one CONTENDED_MIN_S threshold.
+        # Pre-split rows (no spark_sec) are skipped — they are legacy
+        # artifacts the gate also excludes.
+        sec = row.get("spark_sec")
+        if sec is None or wall <= 0 or sec < CONTENDED_MIN_S:
             continue
         load = max(noise.get("loadavg1") or 0, noise.get("loadavg1_start") or 0)
         steal_pct = (noise.get("steal_cs") or 0) / (wall * n_cpus)
@@ -116,7 +122,7 @@ def contended_rows(data: dict, n_cpus: int) -> list[str]:
         if steal_pct > CONTENDED_STEAL_PCT:
             reasons.append(f"steal {steal_pct:.1f}%/cpu")
         if reasons:
-            out.append(f"{name} ({sec:.1f}s: " + ", ".join(reasons) + ")")
+            out.append(f"{name} (engine {sec:.1f}s: " + ", ".join(reasons) + ")")
     return out
 
 

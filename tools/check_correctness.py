@@ -142,20 +142,33 @@ def main() -> int:
     failures, results = [], {}
     clock = _NoiseClock()
 
-    def _warm(q) -> None:
+    def _warm(q) -> bool:
+        """Best-effort warm-up; returns whether it actually ran.
+
+        A missing warm fixture or a warm-build failure must not be
+        silent (ADVICE r8): every row records ``warmed`` so a cold
+        timing can never masquerade as a warmed one, and the failure
+        is reported to stderr (the timed run still reports any real
+        query failure itself).
+        """
         if not args.warm_dir:
-            return
+            return False
         try:
             q.build(spark, args.warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        except Exception:  # noqa: BLE001 - warm-up is best-effort;
-            pass  # the timed run reports any real failure itself
-        release_checkpoints(spark)
+            return True
+        except Exception as e:  # noqa: BLE001 - warm-up is best-effort
+            print(
+                f"[warm-failed] {q.name}: {str(e)[:200]}", file=sys.stderr
+            )
+            return False
+        finally:
+            release_checkpoints(spark)
 
     for name in names:
         q = qs[name]
-        _warm(q)
+        warmed = _warm(q)
         clock.start()
         t0 = time.time()
         if name in spark_only:
@@ -168,6 +181,7 @@ def main() -> int:
                     "sec": spark_sec,
                     "spark_sec": spark_sec,
                     "noise": clock.block(),
+                    "warmed": warmed,
                 }
                 print(f"[spark-only] {name}: {rows} rows in {spark_sec}s")
             except Exception as e:  # noqa: BLE001
@@ -209,6 +223,7 @@ def main() -> int:
                 "spark_sec": spark_sec,
                 "oracle_sec": round(time.time() - t_o, 2),
                 "noise": clock.block(),
+                "warmed": warmed,
             }
             if status != "COUNT_OK":
                 failures.append(name)
@@ -238,6 +253,7 @@ def main() -> int:
                 "sec": spark_sec,
                 "spark_sec": spark_sec,
                 "noise": clock.block(),
+                "warmed": warmed,
             }
             print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
@@ -273,6 +289,7 @@ def main() -> int:
             "spark_sec": spark_sec,
             "oracle_sec": round(time.time() - t_o, 2),
             "noise": clock.block(),
+            "warmed": warmed,
         }
         if status != "OK":
             failures.append(name)
