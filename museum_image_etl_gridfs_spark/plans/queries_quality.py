@@ -63,6 +63,20 @@ def _sql_hash_bucket(expr: str, buckets: int) -> str:
     )
 
 
+def _sql_word_ngrams(n: int) -> str:
+    """DuckDB mirror of ``functions/quality.word_ngrams`` over a word
+    array column ``w``: space-joined word ``n``-grams, empty when the
+    doc has fewer than ``n`` words. Same 1-based range arithmetic the
+    Spark helper documents (``range(1, len(w) - n + 2)``)."""
+    parts = " || ' ' || ".join(
+        f"w[i+{j}]" if j else "w[i]" for j in range(n)
+    )
+    return (
+        f"CASE WHEN len(w) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(1, len(w) + {2 - n}), i -> {parts}) END"
+    )
+
+
 @query(
     "quality_flags",
     oracle=f"""
@@ -1451,4 +1465,176 @@ def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ft_score"),
         ((F.col("n_tok") > 0) & (F.col("num") > 0)).alias("keep"),
+    )
+
+
+#: word n-gram order for the SoftDeDup commonness measure — 4-grams,
+#: long enough that repeats signal shared boilerplate rather than
+#: common phrases, short enough that most docs have many.
+_SD_N = 4
+
+
+@query(
+    "softdedup_weights",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {{words}} AS w FROM documents),
+    g AS (
+        SELECT doc_id, unnest({{grams}}) AS gram
+        FROM w),
+    cnt AS (SELECT gram, COUNT(*) AS cf FROM g GROUP BY gram),
+    doc AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(cnt.cf) AS BIGINT) AS cf_sum
+        FROM g JOIN cnt USING (gram) GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           COALESCE(doc.n_grams, 0) AS n_grams,
+           COALESCE(doc.cf_sum, 0) AS cf_sum,
+           round(1.0 / (1.0 + CAST(COALESCE(doc.cf_sum, 0) AS DOUBLE)
+                              / GREATEST(COALESCE(doc.n_grams, 1), 1)),
+                 9) AS weight
+    FROM documents d LEFT JOIN doc USING (doc_id)
+    """.format(words=_SQL_WORDS_LOWER, grams=_sql_word_ngrams(_SD_N)),
+    tags=("dedup", "softdedup", "quality", "extension"),
+)
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup data reweighting (He et al., ACL'24 Findings
+    "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    Language Model Pre-training" — public method): instead of DROPPING
+    near-duplicates, downweight documents by their "data commonness" —
+    how often their word n-grams recur across the corpus — so common
+    boilerplate is sampled less without discarding its unique tail.
+
+    Commonness here is the mean corpus occurrence count of the doc's
+    {n}-grams; the sampling weight is ``1 / (1 + commonness)``,
+    rounded to 9 dp. Exactness route: the per-doc accumulation is a
+    BIGINT sum of BIGINT per-gram corpus counts — order- and
+    partitioning-independent — with exactly ONE double division at the
+    end, so both engines compute bit-identical weights (the
+    ``linear_quality_classifier`` integer-units lesson).
+
+    Scale shape (100 TB): explode grams once; gram->count is ONE
+    map-side-combined shuffle keyed by gram; the count join back is
+    size-gated — broadcast while the measured gram vocabulary fits,
+    shuffle join on ``gram`` above the threshold (a web-corpus gram
+    table is corpus-sized, not dimension-sized); the per-doc sum
+    shuffles (doc_id) once with partial aggregation. Docs shorter than
+    {n} words have no grams and keep weight 1.0 via the left join.
+    """
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    wdf = docs.select(
+        "doc_id", Q.words(F.lower(F.col("text"))).alias("w")
+    )
+    grams = wdf.select(
+        "doc_id", F.explode(Q.word_ngrams(F.col("w"), _SD_N)).alias("gram")
+    )
+    cnt = size_gated_broadcast(
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cf"))
+    )
+    doc = (
+        grams.join(cnt, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("cf").alias("cf_sum"),
+        )
+    )
+    out = docs.select("doc_id").join(doc, "doc_id", "left")
+    n_g = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    cf = F.coalesce(F.col("cf_sum"), F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        n_g.alias("n_grams"),
+        cf.alias("cf_sum"),
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + cf.cast("double")
+                / F.greatest(n_g, F.lit(1).cast("long"))
+            ),
+            9,
+        ).alias("weight"),
+    )
+
+
+softdedup_weights.__doc__ = softdedup_weights.__doc__.format(n=_SD_N)
+
+
+@query(
+    "distinct_ngram_diversity",
+    oracle=f"""
+    WITH w AS (SELECT source, {{words}} AS w FROM documents),
+    u AS (SELECT source, unnest(w) AS t FROM w),
+    b AS (SELECT source, unnest({{bigrams}}) AS t FROM w),
+    d1 AS (SELECT source, COUNT(*) AS total_1,
+                  COUNT(DISTINCT t) AS uniq_1
+           FROM u GROUP BY source),
+    d2 AS (SELECT source, COUNT(*) AS total_2,
+                  COUNT(DISTINCT t) AS uniq_2
+           FROM b GROUP BY source)
+    SELECT d1.source, total_1, uniq_1,
+           round(CAST(uniq_1 AS DOUBLE) / total_1, 9) AS distinct_1,
+           COALESCE(total_2, 0) AS total_2,
+           COALESCE(uniq_2, 0) AS uniq_2,
+           CASE WHEN COALESCE(total_2, 0) > 0
+                THEN round(CAST(uniq_2 AS DOUBLE) / total_2, 9)
+                ELSE 0.0 END AS distinct_2
+    FROM d1 LEFT JOIN d2 USING (source)
+    """.format(words=_SQL_WORDS_LOWER, bigrams=_sql_word_ngrams(2)),
+    tags=("diversity", "text", "extension"),
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n lexical diversity per source (Li et al., NAACL'16
+    "A Diversity-Promoting Objective Function for Neural Conversation
+    Models" — the distinct-1/distinct-2 metrics, public method): the
+    ratio of UNIQUE uni/bigrams to total uni/bigrams in each source's
+    pooled text. Low distinct-n flags a source dominated by templated
+    or repetitive text — a standard corpus-audit signal when choosing
+    per-source mixture weights.
+
+    Plan: one words-array projection feeds two explodes; each side is
+    a (source)-keyed count + exact count-distinct — Spark plans the
+    distinct as a two-phase partial/final aggregate, so the shuffle
+    carries (source, term) pairs once, map-side deduplicated. The
+    ratios divide two exact BIGINTs, one double division each, rounded
+    to 9 dp — bit-identical across engines. At 100 TB the exact
+    distinct is the honest audit number and shuffles each distinct
+    (source, gram) pair once; if an approximate audit suffices,
+    ``approx_count_distinct`` drops the distinct shuffle entirely
+    (same plan otherwise) — the exact/approx choice mirrors
+    ``distinct_segments`` vs ``approx_distinct_parts``.
+    """
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    wdf = docs.select(
+        "source", Q.words(F.lower(F.col("text"))).alias("w")
+    )
+    uni = wdf.select("source", F.explode("w").alias("t"))
+    bi = wdf.select(
+        "source", F.explode(Q.word_ngrams(F.col("w"), 2)).alias("t")
+    )
+    d1 = uni.groupBy("source").agg(
+        F.count("t").alias("total_1"),
+        F.countDistinct("t").alias("uniq_1"),
+    )
+    d2 = bi.groupBy("source").agg(
+        F.count("t").alias("total_2"),
+        F.countDistinct("t").alias("uniq_2"),
+    )
+    out = d1.join(d2, "source", "left")
+    t2 = F.coalesce(F.col("total_2"), F.lit(0).cast("long"))
+    u2 = F.coalesce(F.col("uniq_2"), F.lit(0).cast("long"))
+    return out.select(
+        "source",
+        "total_1",
+        "uniq_1",
+        F.round(
+            F.col("uniq_1").cast("double") / F.col("total_1"), 9
+        ).alias("distinct_1"),
+        t2.alias("total_2"),
+        u2.alias("uniq_2"),
+        F.when(
+            t2 > 0, F.round(u2.cast("double") / t2, 9)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("distinct_2"),
     )

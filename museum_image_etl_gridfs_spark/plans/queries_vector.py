@@ -212,3 +212,66 @@ def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean, comps, _ratio = pca_fit(emb, k=2)
     return pca_project(emb, mean, comps, extra_cols=("label",))
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         scored AS (
+        SELECT q.qid, e.vec_id AS neg_id, e.label AS neg_label,
+               round(list_cosine_similarity(q.qv,
+                     CAST(e.embedding AS DOUBLE[])), 4) AS score
+        FROM q JOIN embeddings e ON e.label <> q.qlabel
+    )
+    SELECT qid, neg_id, neg_label, score
+    FROM (
+        SELECT qid, neg_id, neg_label, score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, neg_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "contrastive", "extension"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al., EMNLP'20
+    "Dense Passage Retrieval" — public method): for each anchor
+    vector, the top-k most cosine-similar corpus vectors whose LABEL
+    differs from the anchor's — the "looks relevant but isn't"
+    negatives that make contrastive training data hard. Same
+    broadcast-anchors + JVM-side score + per-anchor rank shape as
+    ``cosine_topk``; the label inequality joins into the broadcast
+    predicate so wrong-label candidates are dropped BEFORE scoring
+    fan-out ever shuffles. At 100 TB the anchor set is the small side
+    by construction (a training batch, not the corpus), so the
+    broadcast is bounded by batch size; the corpus side stays a
+    narrow scan. Scores rounded to 4 dp (summation-order ulps, same
+    route as cosine_topk).
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        spread(emb, "vec_id")
+        .join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "neg_id", "neg_label", "score")
+    )

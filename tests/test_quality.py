@@ -332,3 +332,61 @@ def test_ccnet_buckets_are_per_lang_terciles(spark, sf_dir):
         head = sum(buckets["head"]) / len(buckets["head"])
         tail = sum(buckets["tail"]) / len(buckets["tail"])
         assert head < tail, (lang, head, tail)
+
+
+def test_softdedup_weights_formula_and_duplicates(spark, sf_dir):
+    """SoftDedup reweighting: one row per document; the weight column
+    is exactly round(1/(1 + cf_sum/max(n_grams,1)), 9) of its own
+    integer columns; cf_sum >= n_grams (every gram counts itself);
+    and byte-identical documents get byte-identical weights."""
+    from museum_image_etl_gridfs_spark.catalog import load
+
+    out = all_queries()["softdedup_weights"].build(spark, sf_dir)
+    rows = out.collect()
+    docs = load(spark, "documents", sf_dir)
+    assert len(rows) == docs.count()
+    assert any(r["cf_sum"] > r["n_grams"] for r in rows)
+    for r in rows:
+        assert r["cf_sum"] >= r["n_grams"]
+        expect = round(
+            1.0 / (1.0 + r["cf_sum"] / max(r["n_grams"], 1)), 9
+        )
+        assert r["weight"] == expect
+        assert 0.0 < r["weight"] <= 1.0
+    text_of = {
+        d["doc_id"]: (d["text"] or "").lower().split()
+        for d in docs.select("doc_id", "text").collect()
+    }
+    w_of = {r["doc_id"]: r["weight"] for r in rows}
+    by_words: dict = {}
+    for did, ws in text_of.items():
+        by_words.setdefault(tuple(ws), []).append(did)
+    for ids in by_words.values():
+        assert len({w_of[i] for i in ids}) == 1
+
+
+def test_distinct_ngram_diversity_recomputes(spark, sf_dir):
+    """distinct-n per source: python recount of unique/total uni- and
+    bigrams over the pooled source text matches the engine exactly."""
+    from museum_image_etl_gridfs_spark.catalog import load
+
+    out = all_queries()["distinct_ngram_diversity"].build(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir).select("source", "text").collect()
+    pools: dict = {}
+    for d in docs:
+        ws = (d["text"] or "").lower().split()
+        t1, u1, t2, u2 = pools.setdefault(
+            d["source"], [0, set(), 0, set()]
+        )
+        pools[d["source"]][0] += len(ws)
+        pools[d["source"]][1].update(ws)
+        bigrams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        pools[d["source"]][2] += len(bigrams)
+        pools[d["source"]][3].update(bigrams)
+    for r in out.collect():
+        t1, u1, t2, u2 = pools[r["source"]]
+        assert (r["total_1"], r["uniq_1"]) == (t1, len(u1))
+        assert (r["total_2"], r["uniq_2"]) == (t2, len(u2))
+        assert r["distinct_1"] == round(len(u1) / t1, 9)
+        expect2 = round(len(u2) / t2, 9) if t2 else 0.0
+        assert r["distinct_2"] == expect2
