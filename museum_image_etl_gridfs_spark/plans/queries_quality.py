@@ -1638,3 +1638,249 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("distinct_2"),
     )
+
+
+#: DoReMi multiplicative-weights step size (one update step of the
+#: published Group-DRO loop, run as a batch query).
+_DOREMI_ETA = 1.0
+
+
+@query(
+    "doremi_domain_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, unnest(w) AS term
+        FROM (SELECT lang, {{words}} AS w FROM documents)),
+    cnt AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+    tot AS (SELECT sum(c) AS n FROM cnt),
+    per_lang AS (
+        SELECT t.lang, count(*) AS n_tok,
+               sum(CAST(round(ln(cnt.c / tot.n), 8) AS DECIMAL(20,8))) AS s
+        FROM t JOIN cnt USING (term) CROSS JOIN tot
+        GROUP BY t.lang),
+    scored AS (
+        SELECT lang, n_tok,
+               round(-CAST(s AS DOUBLE) / n_tok, 6) AS avg_nll
+        FROM per_lang),
+    ex AS (
+        SELECT lang, n_tok, avg_nll,
+               round(avg_nll - min(avg_nll) OVER (), 6) AS excess,
+               sum(n_tok) OVER () AS all_tok
+        FROM scored),
+    un AS (
+        SELECT lang, n_tok, avg_nll, excess,
+               CAST(round((CAST(n_tok AS DOUBLE) / all_tok)
+                          * exp({_DOREMI_ETA} * excess), 9)
+                    AS DECIMAL(20,9)) AS u
+        FROM ex)
+    SELECT lang, CAST(n_tok AS BIGINT) AS n_tok, avg_nll, excess,
+           round(CAST(u AS DOUBLE) / CAST(sum(u) OVER () AS DOUBLE), 6)
+               AS weight
+    FROM un
+    """.format(words=_SQL_WORDS_LOWER),
+    tags=("mixture", "doremi", "quality", "extension"),
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi domain-reweighting step (Xie et al., NeurIPS'23
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining" — public method): domains (languages here) whose
+    text scores HIGH excess loss under a proxy model get their
+    mixture weight multiplied up, ``w_i ∝ α_i · exp(η · excess_i)``,
+    normalized. The proxy loss is the corpus-unigram LM's per-domain
+    average NLL (the same exactness route as ``unigram_lm_scores``);
+    the reference mixture α is the corpus token share.
+
+    Exactness route: per-token log-probs rounded to 8 dp and
+    DECIMAL-summed per domain (order-independent); avg_nll and excess
+    rounded to 6 dp BEFORE the exp so both engines exponentiate
+    bit-identical inputs; the unnormalized weights are rounded to 9 dp
+    and DECIMAL-summed for the normalizer — the one cross-domain sum
+    is exact, so the final division is bit-identical.
+
+    Scale shape: token explode + one size-gated vocabulary join (the
+    unigram_lm plan) feeding a groupBy(domain) — O(domains) rows from
+    there on; the window normalizations run over the O(domains) table,
+    never the corpus.
+    """
+    from pyspark.sql import Window
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    t = docs.select(
+        "lang",
+        F.explode_outer(Q.words(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    cnt = size_gated_broadcast(
+        t.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy().agg(F.sum("c").alias("n"))
+    logp = F.round(F.log(F.col("c") / F.col("n")), 8).cast("decimal(20,8)")
+    per_lang = (
+        t.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum(logp).alias("s"))
+    )
+    scored = per_lang.select(
+        "lang",
+        "n_tok",
+        F.round(-F.col("s").cast("double") / F.col("n_tok"), 6).alias(
+            "avg_nll"
+        ),
+    )
+    w_all = Window.partitionBy()
+    ex = scored.select(
+        "lang",
+        "n_tok",
+        "avg_nll",
+        F.round(
+            F.col("avg_nll") - F.min("avg_nll").over(w_all), 6
+        ).alias("excess"),
+        F.sum("n_tok").over(w_all).alias("all_tok"),
+    )
+    un = ex.select(
+        "lang",
+        "n_tok",
+        "avg_nll",
+        "excess",
+        F.round(
+            (F.col("n_tok").cast("double") / F.col("all_tok"))
+            * F.exp(F.lit(_DOREMI_ETA) * F.col("excess")),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("u"),
+    )
+    return un.select(
+        "lang",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "avg_nll",
+        "excess",
+        F.round(
+            F.col("u").cast("double")
+            / F.sum("u").over(w_all).cast("double"),
+            6,
+        ).alias("weight"),
+    )
+
+
+#: fitted repetition-value decay constant from Muennighoff et al.
+#: (NeurIPS'23, "Scaling Data-Constrained Language Models"): repeated
+#: epochs decay in value with half-life ~r_d* ≈ 15.39 epochs.
+_DC_RSTAR = 15.39
+#: token budget as a multiple of the corpus's total RAW tokens —
+#: the "how many epochs can I afford" planning input.
+_DC_BUDGET_X = 2.0
+
+
+@query(
+    "data_constrained_epochs",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, md5(coalesce(text, '')) AS fp,
+               len({{words}}) AS nw
+        FROM documents),
+    u AS (
+        SELECT source, fp, count(*) AS copies, min(nw) AS nw
+        FROM d GROUP BY source, fp),
+    per_src AS (
+        SELECT source,
+               CAST(sum(copies) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_unique_docs,
+               CAST(sum(copies * nw) AS BIGINT) AS total_tokens,
+               CAST(sum(nw) AS BIGINT) AS unique_tokens
+        FROM u GROUP BY source),
+    g AS (
+        SELECT *, sum(total_tokens) OVER () AS all_total
+        FROM per_src)
+    SELECT source, n_docs, n_unique_docs, total_tokens, unique_tokens,
+           round(greatest(
+               ({_DC_BUDGET_X} * all_total)
+                   * (CAST(total_tokens AS DOUBLE) / all_total)
+                   / unique_tokens - 1.0, 0.0), 6) AS repeats,
+           round(unique_tokens
+                 + unique_tokens * {_DC_RSTAR}
+                   * (1.0 - exp(-round(greatest(
+                       ({_DC_BUDGET_X} * all_total)
+                           * (CAST(total_tokens AS DOUBLE) / all_total)
+                           / unique_tokens - 1.0, 0.0), 6)
+                       / {_DC_RSTAR})), 4) AS effective_tokens
+    FROM g
+    """.format(words=_SQL_WORDS_LOWER),
+    tags=("mixture", "scaling", "quality", "extension"),
+)
+def data_constrained_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-epoch value accounting per source (Muennighoff et
+    al., NeurIPS'23 "Scaling Data-Constrained Language Models" —
+    public method): when the token budget exceeds the unique data,
+    repeated epochs still help but decay in value; the paper's fitted
+    form counts ``U + U·r*·(1 − exp(−R/r*))`` effective tokens for
+    ``R`` repeat epochs over ``U`` unique tokens (r* ≈ 15.39). This
+    query computes, per source: raw vs unique (exact-dedup by md5
+    content fingerprint) token counts, the repeat epochs a
+    proportional-to-raw-size allocation of a {x}× budget implies, and
+    the effective-token value of that allocation — the planning table
+    for "which sources are worth re-epoching".
+
+    Exactness: all counts are BIGINTs off one (source, fingerprint)
+    aggregate; repeats is rounded to 6 dp BEFORE the exp so both
+    engines exponentiate identical inputs; one window-total over the
+    O(sources) table.
+
+    Scale shape: one narrow scan projecting (source, md5(text),
+    n_words) → groupBy(source, fp) with map-side combine (the
+    exact-dedup shuffle, keyed by fingerprint so duplicates collide)
+    → groupBy(source) → O(sources) math. No Python, no second corpus
+    pass — the same single-shuffle shape as ``exact_dedup_stats``.
+    """
+    from pyspark.sql import Window
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    d = docs.select(
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+        F.size(Q.words(F.lower(F.col("text")))).alias("nw"),
+    )
+    u = d.groupBy("source", "fp").agg(
+        F.count(F.lit(1)).alias("copies"), F.min("nw").alias("nw")
+    )
+    per_src = u.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_docs"),
+        F.sum(F.col("copies") * F.col("nw")).cast("long").alias(
+            "total_tokens"
+        ),
+        F.sum("nw").cast("long").alias("unique_tokens"),
+    )
+    g = per_src.withColumn(
+        "all_total", F.sum("total_tokens").over(Window.partitionBy())
+    )
+    repeats = F.round(
+        F.greatest(
+            (F.lit(_DC_BUDGET_X) * F.col("all_total"))
+            * (F.col("total_tokens").cast("double") / F.col("all_total"))
+            / F.col("unique_tokens")
+            - F.lit(1.0),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_unique_docs",
+        "total_tokens",
+        "unique_tokens",
+        repeats.alias("repeats"),
+        F.round(
+            F.col("unique_tokens")
+            + F.col("unique_tokens")
+            * F.lit(_DC_RSTAR)
+            * (F.lit(1.0) - F.exp(-repeats / F.lit(_DC_RSTAR))),
+            4,
+        ).alias("effective_tokens"),
+    )
+
+
+data_constrained_epochs.__doc__ = data_constrained_epochs.__doc__.format(
+    x=_DC_BUDGET_X
+)

@@ -390,3 +390,52 @@ def test_distinct_ngram_diversity_recomputes(spark, sf_dir):
         assert r["distinct_1"] == round(len(u1) / t1, 9)
         expect2 = round(len(u2) / t2, 9) if t2 else 0.0
         assert r["distinct_2"] == expect2
+
+
+def test_doremi_weights_sum_and_direction(spark, sf_dir):
+    """DoReMi step: weights form a distribution; excess is >= 0 with
+    min exactly 0; the domain with the highest excess loss is
+    upweighted relative to its token share and the min-excess domain
+    is downweighted (the multiplicative-weights direction)."""
+    out = all_queries()["doremi_domain_weights"].build(spark, sf_dir)
+    rows = out.collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert min(r["excess"] for r in rows) == 0.0
+    all_tok = sum(r["n_tok"] for r in rows)
+    for r in rows:
+        share = r["n_tok"] / all_tok
+        if r["excess"] == max(x["excess"] for x in rows) and r["excess"] > 0:
+            assert r["weight"] > share
+        if r["excess"] == 0.0 and any(x["excess"] > 0 for x in rows):
+            assert r["weight"] < share
+
+
+def test_data_constrained_epochs_bounds(spark, sf_dir):
+    """Muennighoff effective-token accounting: unique <= total,
+    unique docs <= docs, repeats >= 0, and effective tokens sit in
+    [unique, unique * (1 + r*)] — the form's asymptote."""
+    from museum_image_etl_gridfs_spark.plans.queries_quality import (
+        _DC_BUDGET_X,
+        _DC_RSTAR,
+    )
+
+    out = all_queries()["data_constrained_epochs"].build(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    all_total = sum(r["total_tokens"] for r in rows)
+    for r in rows:
+        assert r["unique_tokens"] <= r["total_tokens"]
+        assert r["n_unique_docs"] <= r["n_docs"]
+        assert r["repeats"] >= 0.0
+        assert r["unique_tokens"] <= r["effective_tokens"] + 1e-6
+        assert r["effective_tokens"] <= r["unique_tokens"] * (1 + _DC_RSTAR)
+        # same FP op order as the query (the budget-share allocation),
+        # not the algebraically-cancelled 2*T/U form
+        expect_r = max(
+            (_DC_BUDGET_X * all_total)
+            * (r["total_tokens"] / all_total)
+            / r["unique_tokens"]
+            - 1.0,
+            0.0,
+        )
+        assert r["repeats"] == pytest.approx(round(expect_r, 6), abs=1e-9)
