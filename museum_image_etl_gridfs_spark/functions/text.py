@@ -107,19 +107,28 @@ def fingerprint(text: Column | str) -> Column:
 def lang_guess(text: Column | str) -> Column:
     """Stopword-marker language heuristic over LANG_MARKERS.
 
-    Scores each language by count of its marker words (word-bounded,
-    case-insensitive) and returns the argmax, 'und' (undetermined) on
-    an all-zero tie. Ties between languages break by the dict order
-    above (greatest() keeps the first max via strict > comparison).
+    Scores each language by the count of whitespace TOKENS equal to
+    one of its markers (case-insensitive) and returns the argmax,
+    'und' (undetermined) on an all-zero tie. Ties between languages
+    break by the dict order above (greatest() keeps the first max via
+    strict > comparison).
+
+    The text is tokenized ONCE (the canonical quality.words split);
+    each language then counts marker-token equality over the shared
+    array. The previous form ran a word-bounded regexp SPLIT of the
+    full string per marker — 20 full-document regex scans + array
+    materializations per row, measured at 13.7 s (lang_id) / ~15 s
+    (lang_confusion_matrix) solo at sf1 vs ~2 s for this shape. Same
+    verdicts on whitespace-clean text; punctuation-glued markers
+    ("the,") no longer count — the oracle mirrors the token form.
     """
-    t = F.lower(F.coalesce(_col(text), F.lit("")))
+    from .quality import words
+
+    ws = words(F.lower(F.coalesce(_col(text), F.lit(""))))
 
     def score(lang: str) -> Column:
-        total = F.lit(0)
-        for w in LANG_MARKERS[lang]:
-            pat = rf"\b{w}\b"
-            total = total + F.size(F.split(t, pat)) - 1
-        return total
+        markers = LANG_MARKERS[lang]
+        return F.size(F.filter(ws, lambda w: w.isin(*markers)))
 
     scores = {lang: score(lang) for lang in LANG_MARKERS}
     best = F.greatest(*scores.values())

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions import quality as Q
 from ..functions import text as TX
 from ..functions.chunking import chunk_documents, chunk_oracle_sql
 from .registry import query
@@ -101,12 +102,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_oracle() -> str:
+    """DuckDB mirror of ``functions/text.lang_guess``: the canonical
+    WORDS_SQL_LOWER tokenization once, then marker-token equality
+    counts per language (same token form as the Spark side — no
+    per-marker regex rescans of the document)."""
     score_exprs = []
     for lang, words in TX.LANG_MARKERS.items():
-        parts = " + ".join(
-            f"(len(regexp_split_to_array(t, '\\b{w}\\b')) - 1)" for w in words
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"len(list_filter(w, x -> x IN ({inlist}))) AS s_{lang}"
         )
-        score_exprs.append(f"({parts}) AS s_{lang}")
     scores_sql = ",\n               ".join(score_exprs)
     langs = list(TX.LANG_MARKERS)
     best = f"greatest({', '.join('s_' + lang for lang in langs)})"
@@ -122,9 +127,8 @@ def _lang_oracle() -> str:
         SELECT doc_id, {best} AS best, s_{', s_'.join(langs)}
         FROM (
             SELECT doc_id,
-               {scores_sql},
-               t
-            FROM (SELECT doc_id, lower(coalesce(text,'')) AS t FROM documents)
+               {scores_sql}
+            FROM (SELECT doc_id, {Q.WORDS_SQL_LOWER} AS w FROM documents)
         )
     )
     """
