@@ -1831,18 +1831,26 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     absd = lambda c: F.abs(c.cast("double"))  # noqa: E731
     max_abs = F.array_max(F.transform(F.col("embedding"), absd))
-    scale = (max_abs / F.lit(127.0)).alias("scale")
+    # hoist max_abs into a projection BEFORE the error lambda:
+    # interpreted HOFs do not CSE across lambda references, so
+    # spelling max_abs inline re-ran the full array_max scan twice PER
+    # ELEMENT (64 elems x 2 x 64 ops ~ 8k interpreted ops/row; 7.3 s
+    # solo at sf1 -> this shape scans each array once per stage).
+    # Same IEEE op sequence, so values (and the oracle) are unchanged.
+    staged = emb.select(
+        "vec_id", "embedding", max_abs.alias("ma")
+    ).filter(F.col("ma") > 0)
+    scale_c = F.col("ma") / F.lit(127.0)
     err = F.array_max(
         F.transform(
             F.col("embedding"),
             lambda x: F.abs(
                 x.cast("double")
-                - F.floor(x.cast("double") / (max_abs / F.lit(127.0)) + F.lit(0.5))
-                * (max_abs / F.lit(127.0))
+                - F.floor(x.cast("double") / scale_c + F.lit(0.5)) * scale_c
             ),
         )
     ).alias("max_abs_err")
-    return emb.filter(max_abs > 0).select("vec_id", scale, err)
+    return staged.select("vec_id", scale_c.alias("scale"), err)
 
 
 @query(
