@@ -1884,3 +1884,97 @@ def data_constrained_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 data_constrained_epochs.__doc__ = data_constrained_epochs.__doc__.format(
     x=_DC_BUDGET_X
 )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH w AS (SELECT source, {_SQL_WORDS_LOWER} AS w FROM documents),
+    d AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(w[1:8], ' ')) AS fp
+        FROM w WHERE len(w) >= 1),
+    sz AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+    ov AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM d a JOIN d b USING (fp)
+        WHERE a.source < b.source
+        GROUP BY a.source, b.source)
+    SELECT ov.source_a, ov.source_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(ov.n_shared AS BIGINT) AS n_shared,
+           round(CAST(ov.n_shared AS DOUBLE)
+                 / (sa.n + sb.n - ov.n_shared), 9) AS jaccard
+    FROM ov
+    JOIN sz sa ON sa.source = ov.source_a
+    JOIN sz sb ON sb.source = ov.source_b
+    """,
+    tags=("dedup", "audit", "overlap", "extension"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source document-overlap audit (the WIMBD cross-corpus
+    overlap analysis — Elazar et al., ICLR'24 "What's In My Big
+    Data?", public method): for every pair of sources, how many
+    DISTINCT document OPENINGS (md5 of the first 8 lowercased words —
+    the prefix-fingerprint flavor of WIMBD's common-snippet analysis,
+    which also catches re-hosted docs with divergent tails) they
+    share, and the Jaccard overlap of their distinct-opening sets.
+    The standard pre-mixing audit: high overlap between two sources
+    means their mixture weights double-count the same text (and
+    train/test splits drawn per-source leak).
+
+    Plan: one narrow projection to (source, fp) → map-side-combined
+    DISTINCT (the dedup shuffle, keyed by fp) → self-join on fp.
+    Fingerprints shared by k sources meet in one fp-partition and
+    expand to k(k-1)/2 pairs map-side off that single exchange — the
+    join never shuffles the corpus twice (both sides are the same
+    checkpointed relation). Output is O(sources²) rows; per-source
+    sizes broadcast back onto it. Exactness: counts are BIGINTs; one
+    double division per pair, rounded to 9 dp.
+
+    A 100 TB caveat the plan already handles: a fingerprint present
+    in EVERY source expands quadratically in the number of sources —
+    bounded by the source universe (O(sources²) per fp), not by
+    corpus size.
+    """
+    from ..operators.lifecycle import tracked_local_checkpoint
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    ws = Q.words(F.lower(F.col("text")))
+    d = tracked_local_checkpoint(
+        docs.filter(F.size(ws) >= 1)
+        .select(
+            "source",
+            F.md5(F.concat_ws(" ", F.slice(ws, 1, 8))).alias("fp"),
+        )
+        .distinct()
+    )
+    sz = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("source").alias("source_a"), "fp")
+    b = d.select(F.col("source").alias("source_b"), "fp")
+    ov = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sza = F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+    szb = F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
+    return (
+        ov.join(sza, "source_a")
+        .join(szb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                9,
+            ).alias("jaccard"),
+        )
+    )

@@ -439,3 +439,43 @@ def test_data_constrained_epochs_bounds(spark, sf_dir):
             0.0,
         )
         assert r["repeats"] == pytest.approx(round(expect_r, 6), abs=1e-9)
+
+
+def test_source_overlap_matrix_invariants(spark, sf_dir):
+    """Cross-source overlap audit: ordered unique pairs, shared count
+    bounded by both set sizes, jaccard recomputed from its own
+    columns, and a python recount of shared 8-word-opening
+    fingerprints matches the engine."""
+    import hashlib
+
+    from museum_image_etl_gridfs_spark.catalog import load
+
+    out = all_queries()["source_overlap_matrix"].build(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert 0 < r["n_shared"] <= min(r["n_a"], r["n_b"])
+        expect = round(
+            r["n_shared"] / (r["n_a"] + r["n_b"] - r["n_shared"]), 9
+        )
+        assert r["jaccard"] == expect
+    pools: dict = {}
+    for d in load(spark, "documents", sf_dir).select("source", "text").collect():
+        ws = (d["text"] or "").lower().split()
+        if not ws:
+            continue
+        fp = hashlib.md5(" ".join(ws[:8]).encode()).hexdigest()
+        pools.setdefault(d["source"], set()).add(fp)
+    got = {(r["source_a"], r["source_b"]): r["n_shared"] for r in rows}
+    expect_pairs = {}
+    srcs = sorted(pools)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            n = len(pools[a] & pools[b])
+            if n:
+                expect_pairs[(a, b)] = n
+    assert got == expect_pairs
