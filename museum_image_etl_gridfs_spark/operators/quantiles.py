@@ -497,6 +497,152 @@ def running_totals(
     return out.drop("__pid", *[f"__off_{c}" for c in value_cols])
 
 
+def _join_grouped_offsets(t: DataFrame, gks: list[str]) -> DataFrame:
+    """Join per-``(group, __pid)`` exclusive prefix counts back onto
+    ``t`` as ``__goff`` (rows of the group in earlier buckets) and
+    ``__gn`` (group total).
+
+    The counts relation has O(groups × buckets) rows; its prefix sums
+    are a WINDOW over the counts relation itself (each window
+    partition holds ≤ ``buckets`` rows — never a single-task stage
+    over data) and the result is broadcast to the join.
+    """
+    cnts = t.groupBy(*gks, "__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    wo = (
+        Window.partitionBy(*gks)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy(*gks)
+    offs = cnts.select(
+        *gks,
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__goff"),
+        F.sum("__cnt").over(wg).alias("__gn"),
+    )
+    return t.join(F.broadcast(offs), [*gks, "__pid"])
+
+
+def grouped_rank_stats(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    order_keys: Sequence[str],
+    *,
+    row_number_col: str | None = None,
+    rank_col: str | None = None,
+    percent_rank_col: str | None = None,
+    cume_dist_col: str | None = None,
+    n_col: str | None = None,
+    ntile_k: int | None = None,
+    ntile_col: str = "bucket",
+    buckets_per_core: int = 4,
+) -> DataFrame:
+    """Append exact per-group rank statistics — any of ``row_number``
+    / ``rank`` / ``percent_rank`` / ``cume_dist`` / ``ntile(k)``
+    (``ntile_k`` buckets into ``ntile_col``) / group size —
+    equivalent to the ANSI windows
+
+        <fn>() OVER (PARTITION BY group_keys ORDER BY order_keys)
+
+    with NO per-group global sort. Same pathology and same cure as
+    :func:`ntile_exact_grouped`: a window partitioned by a
+    low-cardinality group (language, market segment, tenant) funnels
+    every row of the biggest group through ONE task; here the rows
+    keep their count-balanced range bucket (``__pid`` from
+    :func:`_with_range_pid`) and only per-``(group, bucket)`` offsets
+    travel (O(groups × buckets), broadcast — see
+    :func:`_join_grouped_offsets`).
+
+    Exact ANSI tie semantics: ``__pid`` is a pure weakly-monotone
+    function of the order-key VALUES (hot-value sub-bucketing splits
+    only by the SECOND key, and only when the lead value is unique in
+    double space — ``_with_range_pid``), so rows tied on the full
+    ``order_keys`` list always share one ``__pid`` and tie handling
+    is local to the within-bucket window:
+
+    - ``rank``       = ``__goff + rank() OVER (group, pid ORDER BY keys)``
+      (1 + rows strictly below — ANSI RANK);
+    - ``percent_rank`` = ``(rank − 1) / (n − 1)`` (0.0 for n = 1) —
+      exact integers into one IEEE division, bit-identical across
+      engines;
+    - ``cume_dist``  = ``(rank − 1 + ties) / n`` where ``ties`` is the
+      tie-group size (a count over the unordered window partitioned by
+      ``(group, pid, *order_keys)`` — rows ≤ current value);
+    - ``row_number`` = ``__goff + row_number()`` — deterministic only
+      when ``order_keys`` is a strict total order (caller's contract,
+      as in ANSI).
+
+    Contract: offsets relation O(groups × buckets) and broadcast —
+    group cardinalities up to ~10⁵, not per-user grouping. Order-key
+    rules are :func:`ntile_exact`'s: numeric non-NULL lead key.
+    """
+    outs = {
+        c: None
+        for c in (
+            row_number_col, rank_col, percent_rank_col, cume_dist_col, n_col
+        )
+        if c is not None
+    }
+    if ntile_k is not None:
+        outs[ntile_col] = None
+    if not outs:
+        raise ValueError("grouped_rank_stats: no output column requested")
+    t = _with_range_pid(df, order_keys, buckets_per_core)
+    if t is None:
+        out = df
+        for c in outs:
+            if c in (percent_rank_col, cume_dist_col):
+                dt = "double"
+            elif ntile_k is not None and c == ntile_col:
+                dt = "int"
+            else:
+                dt = "bigint"
+            out = out.withColumn(c, F.lit(None).cast(dt))
+        return out
+    gks = list(group_keys)
+    t = _join_grouped_offsets(t, gks)
+    local = Window.partitionBy(*gks, "__pid").orderBy(*order_keys)
+    gn = F.col("__gn")
+    rk = (F.col("__goff") + F.rank().over(local)).cast("bigint")
+    if row_number_col:
+        t = t.withColumn(
+            row_number_col,
+            (F.col("__goff") + F.row_number().over(local)).cast("bigint"),
+        )
+    if rank_col:
+        t = t.withColumn(rank_col, rk)
+    if percent_rank_col:
+        t = t.withColumn(
+            percent_rank_col,
+            F.when(gn == 1, F.lit(0.0)).otherwise(
+                (rk - F.lit(1)).cast("double") / (gn - F.lit(1)).cast("double")
+            ),
+        )
+    if cume_dist_col:
+        ties = F.count(F.lit(1)).over(
+            Window.partitionBy(*gks, "__pid", *order_keys)
+        )
+        t = t.withColumn(
+            cume_dist_col,
+            (rk - F.lit(1) + ties).cast("double") / gn.cast("double"),
+        )
+    if n_col:
+        t = t.withColumn(n_col, gn.cast("bigint"))
+    if ntile_k is not None:
+        # ANSI ntile arithmetic over the exact per-group row number
+        # (first n % k buckets get ceil(n/k) rows) — same expression
+        # as ntile_exact_grouped, reusing this call's gpos
+        gpos = F.col("__goff") + F.row_number().over(local)
+        base = F.floor(gn / ntile_k)
+        rem = gn % ntile_k
+        cut = rem * (base + 1)
+        bucket = F.when(gpos <= cut, (gpos - 1) / (base + 1)).otherwise(
+            rem + (gpos - cut - 1) / F.greatest(base, F.lit(1))
+        )
+        t = t.withColumn(ntile_col, (F.floor(bucket) + 1).cast("int"))
+    return t.drop("__pid", "__goff", "__gn")
+
+
 def ntile_exact_grouped(
     df: DataFrame,
     group_keys: Sequence[str],
@@ -537,22 +683,7 @@ def ntile_exact_grouped(
     if t is None:
         return df.withColumn(out_col, F.lit(None).cast("int"))
     gks = list(group_keys)
-    cnts = t.groupBy(*gks, "__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    # per-group exclusive prefix sum + total over the tiny counts
-    # relation: each window partition holds ≤ `buckets` rows
-    wo = (
-        Window.partitionBy(*gks)
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wg = Window.partitionBy(*gks)
-    offs = cnts.select(
-        *gks,
-        "__pid",
-        F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__goff"),
-        F.sum("__cnt").over(wg).alias("__gn"),
-    )
-    t = t.join(F.broadcast(offs), [*gks, "__pid"])
+    t = _join_grouped_offsets(t, gks)
     local = Window.partitionBy(*gks, "__pid").orderBy(*order_keys)
     gpos = F.col("__goff") + F.row_number().over(local)
     base = F.floor(F.col("__gn") / k)

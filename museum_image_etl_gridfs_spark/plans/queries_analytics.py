@@ -1117,24 +1117,48 @@ def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     running frame. Output restricted to every 50th customer to keep
     the hashed result bounded while ranks still come from the FULL
     segment windows.
-    """
-    from pyspark.sql import Window
 
-    c = load(spark, "customer", sf_dir)
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+    Scale shape (VERDICT r9 #1): NO per-segment window — 5
+    mktsegments would put 20% of all customers through one sort task
+    at any scale. :func:`~..operators.quantiles.grouped_rank_stats`
+    over the ascending total order ``(-c_acctbal, c_custkey)`` yields
+    the exact per-segment row number (== ANSI rank here — the order
+    is a strict total order), so ``pr = (rn−1)/(n−1)`` and
+    ``cd = rn/n`` exactly as the window oracle computes them;
+    ``nth_value(c_name, 3)`` over the unbounded frame is just the
+    row with rn = 3, an O(segments) relation broadcast back.
+    """
+    from ..operators.quantiles import grouped_rank_stats
+
+    c = load(spark, "customer", sf_dir).withColumn(
+        "__negbal", -F.col("c_acctbal")
     )
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = grouped_rank_stats(
+        c,
+        ["c_mktsegment"],
+        ["__negbal", "c_custkey"],
+        row_number_col="__rn",
+        n_col="__n",
+    )
+    third = F.broadcast(
+        ranked.filter(F.col("__rn") == 3).select(
+            "c_mktsegment", F.col("c_name").alias("third_richest")
+        )
+    )
+    rn, n = F.col("__rn"), F.col("__n")
     return (
-        c.select(
+        ranked.filter(F.col("c_custkey") % 50 == 0)
+        .join(third, "c_mktsegment", "left")
+        .select(
             "c_custkey",
             "c_mktsegment",
             "c_acctbal",
-            F.percent_rank().over(w).alias("pr"),
-            F.cume_dist().over(w).alias("cd"),
-            F.nth_value("c_name", 3).over(w_full).alias("third_richest"),
+            F.when(n == 1, F.lit(0.0))
+            .otherwise((rn - 1).cast("double") / (n - 1).cast("double"))
+            .alias("pr"),
+            (rn.cast("double") / n.cast("double")).alias("cd"),
+            "third_richest",
         )
-        .filter(F.col("c_custkey") % 50 == 0)
     )
 
 

@@ -464,16 +464,20 @@ def rich_customer_nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "topk-per-group"),
 )
 def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group via ranking window (deterministic tiebreak)."""
-    w = Window.partitionBy("p_brand").orderBy(
-        F.col("p_retailprice").desc(), F.col("p_partkey")
-    )
-    return (
-        load(spark, "part", sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("p_brand", "p_partkey", "p_retailprice", "rn")
-    )
+    """Top-k per group (deterministic tiebreak) via the two-phase
+    partial-merge :func:`~..operators.topk.grouped_topk` — per-brand
+    window ranking would sort each brand's full slice (~4% of the
+    table for 25 brands) in ONE task at any scale; the two-phase form
+    caps every task at k rows per (brand, input-partition)."""
+    from ..operators.topk import grouped_topk
+
+    return grouped_topk(
+        load(spark, "part", sf_dir),
+        ["p_brand"],
+        [("p_retailprice", False), ("p_partkey", True)],
+        3,
+        rn_col="rn",
+    ).select("p_brand", "p_partkey", "p_retailprice", "rn")
 
 
 @query(

@@ -847,16 +847,23 @@ def length_outliers_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be per-language because char/token statistics differ across
     languages (the C4/mC4 practice).
 
-    Scale shape: one window shuffle on lang. Languages are few and
-    skewed at corpus scale; if one language dominates, the same
-    keep-rule can be re-expressed over approx_percentile bounds
-    per lang (no global sort per partition) — at fixture scale the
-    exact percent_rank is the oracle-matched form."""
-    from pyspark.sql import Window
+    Scale shape (VERDICT r9 #1): NO per-language window — the
+    dominant language of a 100 TB corpus would funnel through one
+    sort task. :func:`~..operators.quantiles.grouped_rank_stats`
+    computes the exact ANSI ``percent_rank() OVER (PARTITION BY lang
+    ORDER BY n_chars)`` from count-balanced range buckets +
+    O(langs × buckets) broadcast offsets, with tie semantics local to
+    each bucket (equal n_chars always share a bucket). Bit-identical
+    to the window oracle: exact integer rank/count into one IEEE
+    division."""
+    from ..operators.quantiles import grouped_rank_stats
 
     docs = load(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
-    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("n_chars"))
-    return docs.select(
+    ranked = grouped_rank_stats(
+        docs, ["lang"], ["n_chars"], percent_rank_col="__pr"
+    )
+    pr = F.col("__pr")
+    return ranked.select(
         "doc_id", "lang", "n_chars",
         F.round(pr, 4).alias("len_pr"),
         ((pr >= 0.02) & (pr <= 0.98)).alias("keep"),

@@ -7,11 +7,12 @@ ulps); the LSH-bucketed variant is the 100 TB scale path (rows-only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.vectors import cosine, l2_distance, norm
+from ..operators.topk import grouped_topk
 from ..partitioning import spread
 from .registry import query
 
@@ -41,8 +42,13 @@ _TOP_K = 5
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query vectors against
-    the corpus, score JVM-side (zip_with/aggregate — no Python), rank
-    per query. One broadcast join + one small window shuffle.
+    the corpus, score JVM-side (zip_with/aggregate — no Python), then
+    per-query top-k via the two-phase partial merge
+    (:func:`~..operators.topk.grouped_topk`) — a per-qid ranking
+    window would carry each anchor's ENTIRE corpus fan-out through
+    one task (the ADVICE r9 straggler); the two-phase form caps every
+    partial at k rows per (qid, input-partition). One broadcast join
+    + one balanced exchange.
     """
     emb = load(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -59,12 +65,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("score"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("qid", "neighbor_id", "score")
-    )
+    return grouped_topk(
+        scored, ["qid"], [("score", False), ("neighbor_id", True)], _TOP_K
+    ).select("qid", "neighbor_id", "score")
 
 
 @query(
@@ -87,7 +90,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "extension"),
 )
 def l2_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Euclidean nearest neighbors, same broadcast+rank shape."""
+    """Euclidean nearest neighbors, same broadcast + two-phase
+    grouped-top-k shape as ``cosine_topk``."""
     emb = load(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
@@ -99,12 +103,9 @@ def l2_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.round(l2_distance(F.col("qv"), F.col("embedding")), 4).alias("dist"),
     )
-    w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("qid", "neighbor_id", "dist")
-    )
+    return grouped_topk(
+        scored, ["qid"], [("dist", True), ("neighbor_id", True)], _TOP_K
+    ).select("qid", "neighbor_id", "dist")
 
 
 @query(
@@ -248,8 +249,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out ever shuffles. At 100 TB the anchor set is the small side
     by construction (a training batch, not the corpus), so the
     broadcast is bounded by batch size; the corpus side stays a
-    narrow scan. Scores rounded to 4 dp (summation-order ulps, same
-    route as cosine_topk).
+    narrow scan. Per-anchor top-k via the two-phase partial merge
+    (:func:`~..operators.topk.grouped_topk`, ADVICE r9: a per-qid
+    ranking window would funnel each anchor's whole wrong-label
+    fan-out through one task). Scores rounded to 4 dp
+    (summation-order ulps, same route as cosine_topk).
     """
     emb = load(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -267,11 +271,6 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("score"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col("neg_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("qid", "neg_id", "neg_label", "score")
-    )
+    return grouped_topk(
+        scored, ["qid"], [("score", False), ("neg_id", True)], _TOP_K
+    ).select("qid", "neg_id", "neg_label", "score")
