@@ -17,6 +17,11 @@ from pyspark.sql import functions as F
 
 #: Tiny per-language stopword marker sets for the n-gram/stopword
 #: language heuristic. Chosen to be discriminative and regex-safe.
+#: ASCII punctuation stripped from token EDGES before marker compare
+#: (lang_guess) — identical char-set trim semantics in Spark btrim
+#: and DuckDB trim(x, chars). Interior punctuation ("don't") stays.
+PUNCT_CHARS = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
     "de": ["der", "die", "und", "nicht", "ist"],
@@ -118,9 +123,12 @@ def lang_guess(text: Column | str) -> Column:
     array. The previous form ran a word-bounded regexp SPLIT of the
     full string per marker — 20 full-document regex scans + array
     materializations per row, measured at 13.7 s (lang_id) / ~15 s
-    (lang_confusion_matrix) solo at sf1 vs ~2 s for this shape. Same
-    verdicts on whitespace-clean text; punctuation-glued markers
-    ("the,") no longer count — the oracle mirrors the token form.
+    (lang_confusion_matrix) solo at sf1 vs ~2 s for this shape.
+    Punctuation-glued markers ("the,", "(is") count via an ASCII
+    punctuation btrim of each token before the marker compare
+    (ADVICE r9 — bare token equality dropped them on punctuated
+    prose); btrim(token, set) has identical semantics in DuckDB's
+    trim(x, chars), so the oracle mirrors it exactly.
     """
     from .quality import words
 
@@ -128,7 +136,9 @@ def lang_guess(text: Column | str) -> Column:
 
     def score(lang: str) -> Column:
         markers = LANG_MARKERS[lang]
-        return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+        return F.size(
+            F.filter(ws, lambda w: F.btrim(w, F.lit(PUNCT_CHARS)).isin(*markers))
+        )
 
     scores = {lang: score(lang) for lang in LANG_MARKERS}
     best = F.greatest(*scores.values())

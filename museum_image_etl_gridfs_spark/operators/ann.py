@@ -177,6 +177,13 @@ def jaccard_pairs_blocked(
         .groupBy("blk", "sub")
         .agg(F.collect_list(F.struct("id", "ts")).alias("ms"))
     )
+    # Round-robin the O(blocks × sub²) pair rows across cores: the
+    # join's output inherits hash-partitioning on blk (a handful of
+    # sources), so without this the CPU-bound matmul stage runs
+    # |blocks|-wide on any machine (measured 8/32 cores busy, 40 s →
+    # 17 s solo at sf1). The extra exchange moves the packed rows
+    # once more — cheap next to the numpy stage it parallelizes.
+    para = docs.sparkSession.sparkContext.defaultParallelism
     pairs = (
         packed.alias("a")
         .join(
@@ -187,6 +194,7 @@ def jaccard_pairs_blocked(
             F.col("a.ms").alias("ms_a"),
             F.col("b.ms").alias("ms_b"),
         )
+        .repartition(max(para, n_sub_blocks))
     )
 
     def score(batches):

@@ -1519,13 +1519,20 @@ def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     end, so both engines compute bit-identical weights (the
     ``linear_quality_classifier`` integer-units lesson).
 
-    Scale shape (100 TB): explode grams once; gram->count is ONE
-    map-side-combined shuffle keyed by gram; the count join back is
-    size-gated — broadcast while the measured gram vocabulary fits,
-    shuffle join on ``gram`` above the threshold (a web-corpus gram
-    table is corpus-sized, not dimension-sized); the per-doc sum
-    shuffles (doc_id) once with partial aggregation. Docs shorter than
-    {n} words have no grams and keep weight 1.0 via the left join.
+    Scale shape (100 TB): gram->count is ONE map-side-combined
+    shuffle keyed by gram; the count join back is size-gated —
+    broadcast while the measured gram vocabulary fits, shuffle join
+    on ``gram`` above the threshold (a web-corpus gram table is
+    corpus-sized, not dimension-sized); the per-doc sum shuffles
+    (doc_id) once with partial aggregation. The gram EXPLOSION runs
+    twice (count side + join side — ADVICE r9): tokenization is
+    cheap, narrow, and pipelined into each consumer, whereas
+    checkpointing the exploded gram stream would materialize a
+    relation ~10x the corpus — the recompute is the cheaper side of
+    that trade at every scale measured (only the O(vocab) count table
+    is checkpointed, inside ``size_gated_broadcast``). Docs shorter
+    than {n} words have no grams and keep weight 1.0 via the left
+    join.
     """
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
     wdf = docs.select(
@@ -1707,7 +1714,11 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token explode + one size-gated vocabulary join (the
     unigram_lm plan) feeding a groupBy(domain) — O(domains) rows from
     there on; the window normalizations run over the O(domains) table,
-    never the corpus.
+    never the corpus. The token explode itself runs twice (count side
+    + join side — ADVICE r9): recomputing the narrow, pipelined
+    tokenization beats materializing a corpus-sized exploded stream;
+    only the O(vocab) count table is checkpointed (inside
+    ``size_gated_broadcast``).
     """
     from pyspark.sql import Window
 

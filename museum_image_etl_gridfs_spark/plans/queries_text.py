@@ -103,14 +103,18 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_oracle() -> str:
     """DuckDB mirror of ``functions/text.lang_guess``: the canonical
-    WORDS_SQL_LOWER tokenization once, then marker-token equality
-    counts per language (same token form as the Spark side — no
-    per-marker regex rescans of the document)."""
+    WORDS_SQL_LOWER tokenization once, then marker equality counts per
+    language over punctuation-btrimmed tokens (same token form as the
+    Spark side — no per-marker regex rescans of the document; ADVICE
+    r9: edge punctuation no longer hides markers)."""
+    # PUNCT_CHARS as a DuckDB single-quoted literal ('' escapes ')
+    punct_sql = "'" + TX.PUNCT_CHARS.replace("'", "''") + "'"
     score_exprs = []
     for lang, words in TX.LANG_MARKERS.items():
         inlist = ", ".join(f"'{w}'" for w in words)
         score_exprs.append(
-            f"len(list_filter(w, x -> x IN ({inlist}))) AS s_{lang}"
+            f"len(list_filter(w, x -> trim(x, {punct_sql}) IN ({inlist})))"
+            f" AS s_{lang}"
         )
     scores_sql = ",\n               ".join(score_exprs)
     langs = list(TX.LANG_MARKERS)

@@ -100,8 +100,19 @@ DRIVER_PREFIX = 50
 #: at most this many never-driver-green oracle-checkable queries may
 #: jump ahead of the stale band per round, so a wave of new queries
 #: cannot starve the rotation (the r7 wave pushed user_event_type_map
-#: past the staleness promise).
-NEVER_GREEN_CAP = 2
+#: past the staleness promise). Raised 2 -> 3 for r10 per VERDICT r9
+#: item 2 (drain the r9 wave by r11); drop back to 2 once the
+#: never-green queue is empty.
+NEVER_GREEN_CAP = 3
+
+#: never-green queries to drain FIRST, ahead of registration order
+#: (VERDICT r9 item 2 names the r10 set; the rest follow in
+#: registration order next round).
+_NEVER_GREEN_FIRST = (
+    "softdedup_weights",
+    "distinct_ngram_diversity",
+    "source_overlap_matrix",
+)
 
 #: staleness promise: every oracle-checkable query re-verified by the
 #: driver within this many rounds of its last green row.
@@ -146,7 +157,14 @@ def _ordered(queries: list[Query]) -> list[Query]:
     no_oracle = sorted(
         (q for q in rest if q.oracle is None), key=_last
     )
-    never = [q for q in oracle if _last(q) == 0]
+    never = sorted(
+        (q for q in oracle if _last(q) == 0),
+        key=lambda q: (
+            _NEVER_GREEN_FIRST.index(q.name)
+            if q.name in _NEVER_GREEN_FIRST
+            else len(_NEVER_GREEN_FIRST)
+        ),
+    )
     seen = sorted((q for q in oracle if _last(q) > 0), key=_last)
     head_never, tail_never = never[:NEVER_GREEN_CAP], never[NEVER_GREEN_CAP:]
 

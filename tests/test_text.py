@@ -62,6 +62,9 @@ def test_lang_guess(spark):
         "el gato y los perros es que grande": "es",
         "zzz qqq www": "und",
         "": "und",
+        # ADVICE r9: markers glued to punctuation must still score
+        "the, cat. (and) the dog; of 'the' house is big!": "en",
+        "le chat, et la maison... est grande, les jours.": "fr",
     }
     df = spark.createDataFrame(list(cases.items()), "t string, want string")
     got = df.select(
