@@ -1996,3 +1996,260 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+#: Gopher repetition-rule thresholds on the top n-gram fraction
+#: (Rae et al. 2021, Table A1: 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4)
+_GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+@query(
+    "gopher_top_ngram_fraction",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_WORDS_LOWER} AS w FROM documents),
+    gr AS (
+        SELECT doc_id, 2 AS n, g FROM w, UNNEST({_sql_word_ngrams(2)}) AS t(g)
+        UNION ALL
+        SELECT doc_id, 3 AS n, g FROM w, UNNEST({_sql_word_ngrams(3)}) AS t(g)
+        UNION ALL
+        SELECT doc_id, 4 AS n, g FROM w, UNNEST({_sql_word_ngrams(4)}) AS t(g)),
+    c AS (
+        SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+    f AS (
+        SELECT doc_id, n,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS frac
+        FROM c GROUP BY 1, 2),
+    p AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN n = 2 THEN frac END), 0.0) AS top2,
+               coalesce(max(CASE WHEN n = 3 THEN frac END), 0.0) AS top3,
+               coalesce(max(CASE WHEN n = 4 THEN frac END), 0.0) AS top4
+        FROM f GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(p.top2, 0.0) AS top2_frac,
+           coalesce(p.top3, 0.0) AS top3_frac,
+           coalesce(p.top4, 0.0) AS top4_frac,
+           (coalesce(p.top2, 0.0) <= {_GOPHER_TOP_NGRAM_MAX[2]}
+            AND coalesce(p.top3, 0.0) <= {_GOPHER_TOP_NGRAM_MAX[3]}
+            AND coalesce(p.top4, 0.0) <= {_GOPHER_TOP_NGRAM_MAX[4]})
+               AS repetition_pass
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """,
+    tags=("quality", "gopher", "repetition", "extension"),
+)
+def gopher_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-n-gram repetition rule (Rae et al., arXiv 2112.11446
+    "Scaling Language Models: … Gopher", Table A1 — public method):
+    drop documents where the single most frequent n-gram occupies too
+    large a fraction of the document for n = 2/3/4 (thresholds
+    0.20/0.18/0.16). Complements ``quality_flags``' DUPLICATE-n-gram
+    fractions: that rule measures how many grams repeat at all; this
+    one catches a document dominated by ONE phrase (boilerplate
+    headers, SEO keyword stuffing). Token-level variant: fraction =
+    top gram count / total grams (the paper's character-weighted
+    numerator needs only a ``× len(gram)`` twist on the same plan).
+
+    Exactness: max/sum of BIGINT counts into ONE IEEE division,
+    rounded to 4 dp — bit-identical across engines; the pass verdict
+    compares the rounded values.
+
+    Scale shape (100 TB): one tagged explode (structs ``(n, gram)``
+    concatenated per doc — the corpus is tokenized ONCE, not per n),
+    a map-side-combined count keyed ``(doc, n, gram)``, a second tiny
+    per-``(doc, n)`` aggregate, and a broadcast-free left join back on
+    ``doc_id``. No Python, no window, no driver state.
+    """
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    w = Q.words(F.lower(F.col("text")))
+
+    def _tag(n: int):
+        # NOTE: the lambda must take exactly ONE parameter — transform
+        # treats a second parameter as the array INDEX and passes it
+        # (a `lambda g, n=n:` closure silently becomes (element, idx))
+        return F.transform(
+            Q.word_ngrams(w, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    tagged = F.concat(*[_tag(n) for n in (2, 3, 4)])
+    grams = docs.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    )
+    cnt = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    frac = cnt.groupBy("doc_id", "n").agg(
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 4
+        ).alias("frac")
+    )
+    per_doc = frac.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("frac"))), F.lit(0.0)
+            ).alias(f"top{n}")
+            for n in (2, 3, 4)
+        ]
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    tops = {n: F.coalesce(F.col(f"top{n}"), F.lit(0.0)) for n in (2, 3, 4)}
+    keep = F.lit(True)
+    for n, mx in _GOPHER_TOP_NGRAM_MAX.items():
+        keep = keep & (tops[n] <= F.lit(mx))
+    return out.select(
+        "doc_id",
+        tops[2].alias("top2_frac"),
+        tops[3].alias("top3_frac"),
+        tops[4].alias("top4_frac"),
+        keep.alias("repetition_pass"),
+    )
+
+
+@query(
+    "classifier_calibration",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {{words}} AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_concat(w,
+                   CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i+1]) END)
+                   AS g,
+               len(w) AS n,
+               CASE WHEN len(w) = 0 THEN 0.0
+                    ELSE len(list_intersect(w, {{stops}}))
+                         / CAST(len(w) AS DOUBLE) END AS stop_frac
+        FROM w),
+    s AS (
+        SELECT doc_id, len(g) AS n_tok,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(g,
+                       t -> ({{bucket}} * {{mix}})
+                            % {{b}} - {{b}} // 2)),
+                   (a, b) -> a + b) AS num,
+               (n >= 10 AND stop_frac >= 0.01) AS rule_pass
+        FROM g),
+    scored AS (
+        SELECT doc_id, num, n_tok, rule_pass,
+               CASE WHEN n_tok > 0
+                    THEN round(CAST(num AS DOUBLE) / ({{b}}.0 * n_tok), 4)
+                         + 0.0
+                    ELSE 0.0 END AS ft_score
+        FROM s),
+    deciled AS (
+        SELECT *, ntile(10) OVER (ORDER BY ft_score, doc_id) AS decile
+        FROM scored)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rule_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rule_pass,
+           round(sum(CASE WHEN rule_pass THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS rule_pass_rate,
+           round(CAST(sum(num) AS DOUBLE)
+                 / ({{b}}.0 * greatest(sum(n_tok), 1)), 6)
+               AS token_weighted_score
+    FROM deciled GROUP BY 1
+    """.format(
+        words=_SQL_WORDS_LOWER,
+        stops=_STOPS_SQL,
+        bucket=_sql_hash_bucket("t", _FT_B),
+        mix=_FT_MIX,
+        b=_FT_B,
+    ),
+    tags=("quality", "classifier", "evaluation", "extension"),
+)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the fastText-style linear quality score
+    (``linear_quality_classifier``) against an independent rule-based
+    keep verdict — the eval every model-based filter deployment runs
+    before trusting scores at corpus scale (the FineWeb-Edu /
+    DataComp-LM practice: bin classifier scores, inspect agreement
+    per bin). Docs are cut into EXACT score deciles; each decile
+    reports size, the rule-pass count/rate, and the token-weighted
+    mean score.
+
+    The rule label here is a cheap independent heuristic (word count
+    ≥ 10 AND distinct-stopword-hits / words ≥ 0.01) — distinct
+    signals from the classifier's hashed n-grams, so agreement is
+    informative.
+
+    Exactness: deciles via :func:`~..operators.quantiles.ntile_exact`
+    over the (rounded score, doc_id) total order — no global-sort
+    window; per-decile outputs are BIGINT sums (pass counts, score
+    NUMERATORS in integer units over the fixed {b} denominator;
+    n_tok) with one final IEEE division each — bit-identical across
+    engines, the ``linear_quality_classifier`` route.
+
+    Scale shape: one feature explode into a map-side-combined per-doc
+    BIGINT sum (the classifier plan), a narrow per-doc rule stage,
+    the ntile range-id machinery (no single-task stage), and an
+    O(10)-row output aggregate.
+    """
+    from ..operators.quantiles import ntile_exact
+
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    w = Q.words(F.lower(F.col("text")))
+    g = F.concat(w, Q.word_ngrams(w, 2))
+    feats = docs.select(
+        "doc_id", F.explode_outer(g).alias("t")
+    )
+    unit = F.when(F.col("t").isNull(), F.lit(0).cast("long")).otherwise(
+        (Q.hash_bucket(F.col("t"), _FT_B).cast("long") * F.lit(_FT_MIX))
+        % F.lit(_FT_B)
+        - F.lit(_FT_B // 2)
+    )
+    per_doc = (
+        feats.select("doc_id", "t", unit.alias("u"))
+        .groupBy("doc_id")
+        .agg(F.count("t").alias("n_tok"), F.sum("u").alias("num"))
+    )
+    rule = docs.select(
+        "doc_id",
+        (
+            (F.size(w) >= 10)
+            & (
+                F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
+                    Q.stopword_hits(w) / F.size(w).cast("double")
+                )
+                >= 0.01
+            )
+        ).alias("rule_pass"),
+    )
+    scored = per_doc.join(rule, "doc_id").select(
+        "doc_id",
+        "num",
+        "n_tok",
+        "rule_pass",
+        F.when(
+            F.col("n_tok") > 0,
+            F.round(
+                F.col("num").cast("double")
+                / (F.lit(float(_FT_B)) * F.col("n_tok")),
+                4,
+            )
+            + F.lit(0.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ft_score"),
+    )
+    deciled = ntile_exact(scored, ["ft_score", "doc_id"], 10, out_col="decile")
+    return deciled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rule_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rule_pass"),
+        F.round(
+            F.sum(F.when(F.col("rule_pass"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("rule_pass_rate"),
+        F.round(
+            F.sum("num").cast("double")
+            / (
+                F.lit(float(_FT_B))
+                * F.greatest(F.sum("n_tok"), F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("token_weighted_score"),
+    )
