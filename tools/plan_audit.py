@@ -158,6 +158,13 @@ def main(argv: list[str]) -> int:
         "`EXPECTED_PYTHON`), file scans and how many push filters,",
         "broadcast joins.",
         "",
+        "Raw exchange counts are a proxy, not a verdict: the grouped",
+        "rank/ntile/top-k rewrites (r10) deliberately trade ONE",
+        "global-sort window exchange for several exchanges over tiny",
+        "O(groups × buckets) offset relations plus their broadcasts —",
+        "more rows in this column, no single-task stage anywhere",
+        "(`tests/test_quantiles.py` / `test_topk.py` pin that).",
+        "",
         "| query | exchanges | python | scans | pushed | broadcasts |",
         "|---|---|---|---|---|---|",
     ]
