@@ -497,6 +497,100 @@ def running_totals(
     return out.drop("__pid", *[f"__off_{c}" for c in value_cols])
 
 
+def running_totals_grouped(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    order_keys: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    prefix: str = "cum_",
+    buckets_per_core: int = 4,
+) -> DataFrame:
+    """Append ``prefix + c`` = running ``SUM(c) OVER (PARTITION BY
+    group_keys ORDER BY order_keys ROWS UNBOUNDED PRECEDING)`` for
+    each value column — the grouped sibling of :func:`running_totals`,
+    with the same pathology warning as :func:`grouped_rank_stats`: a
+    window partitioned by a low-cardinality group (source, shard,
+    tenant) pushes every row of the biggest group through ONE task.
+
+    Shape: range buckets over the ORDER keys, per-``(group, bucket)``
+    value sums, per-group EXCLUSIVE prefix offsets computed as a
+    window over the tiny O(groups × buckets) sums relation (never
+    collected — unlike the global variant's driver lookup), broadcast
+    back, then a within-``(group, bucket)`` running window.
+
+    Contracts shared with :func:`running_totals`: exact value types
+    (integral / DECIMAL) so bucket boundaries can't change the result;
+    NULL values refused loudly; ``order_keys`` must totally order rows
+    within each group for a deterministic running sum (ANSI's own
+    rule). The offsets relation must be broadcastable: group
+    cardinalities up to ~10⁵.
+    """
+    sum_types = {
+        f.name: f.dataType
+        for f in df.groupBy()
+        .agg(*[F.sum(c).alias(f"__off_{c}") for c in value_cols])
+        .schema.fields
+    }
+    t = _with_range_pid(df, order_keys, buckets_per_core)
+    if t is None:
+        out = df
+        for c in value_cols:
+            out = out.withColumn(
+                prefix + c, F.col(c).cast(sum_types[f"__off_{c}"])
+            )
+        return out
+    gks = list(group_keys)
+    # NULL guard: one tiny job over the (checkpointed) input — a NULL
+    # value would silently become a NULL running sum for every row of
+    # its bucket before the first non-NULL
+    nulls = t.groupBy().agg(
+        *[(F.count(F.lit(1)) - F.count(c)).alias(c) for c in value_cols]
+    ).first()
+    for c in value_cols:
+        if nulls[c]:
+            raise ValueError(
+                f"running_totals_grouped: NULL values in {c!r} are not "
+                "supported (running-sum carry would diverge from SQL "
+                "semantics)"
+            )
+    agg = t.groupBy(*gks, "__pid").agg(
+        *[F.sum(c).alias(f"__s_{c}") for c in value_cols]
+    )
+    wo = (
+        Window.partitionBy(*gks)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = agg.select(
+        *gks,
+        "__pid",
+        *[
+            F.coalesce(
+                F.sum(f"__s_{c}").over(wo),
+                F.lit(0).cast(sum_types[f"__off_{c}"]),
+            ).alias(f"__off_{c}")
+            for c in value_cols
+        ],
+    )
+    # eager checkpoint before the self-join — same constraint-
+    # inference lambda-capture hazard as _join_grouped_offsets
+    offs = tracked_local_checkpoint(offs, eager=True)
+    out = t.join(F.broadcast(offs), [*gks, "__pid"])
+    local = (
+        Window.partitionBy(*gks, "__pid")
+        .orderBy(*order_keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        dt = sum_types[f"__off_{c}"]
+        out = out.withColumn(
+            prefix + c,
+            (F.sum(c).over(local) + F.col(f"__off_{c}")).cast(dt),
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in value_cols])
+
+
 def _join_grouped_offsets(t: DataFrame, gks: list[str]) -> DataFrame:
     """Join per-``(group, __pid)`` exclusive prefix counts back onto
     ``t`` as ``__goff`` (rows of the group in earlier buckets) and
@@ -520,6 +614,16 @@ def _join_grouped_offsets(t: DataFrame, gks: list[str]) -> DataFrame:
         F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__goff"),
         F.sum("__cnt").over(wg).alias("__gn"),
     )
+    # EAGER checkpoint of the O(groups × buckets) offsets before the
+    # self-join: with both join branches sharing the __pid alias
+    # lineage, Catalyst's constraint inference pushes a filter into
+    # the deduplicated right branch whose HOF lambda still captures
+    # the LEFT side's attribute (unrewritten lambda body), and
+    # execution dies with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on some
+    # single-order-key inputs. An opaque (materialized) right side
+    # leaves the inference nothing to substitute into — and the tiny
+    # relation is computed once instead of per consumer.
+    offs = tracked_local_checkpoint(offs, eager=True)
     return t.join(F.broadcast(offs), [*gks, "__pid"])
 
 

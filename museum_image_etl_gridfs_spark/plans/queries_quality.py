@@ -382,24 +382,24 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin is its running-start-offset // budget — contiguous greedy
     packing, the standard pretraining batching step).
 
-    The window partitions by ``source``, so at 100 TB each task holds
-    one shard's running sum — no global sort, no driver state. A
-    global pack order would be the wrong design at scale; per-shard
-    determinism is what real pipelines (and this oracle) pin down.
+    Scale shape (r10): a window partitioned by ``source`` would push
+    every row of the biggest source through ONE running-sum task —
+    the same low-cardinality-group pathology the r9/r10 rank rewrites
+    killed. :func:`~..operators.quantiles.running_totals_grouped`
+    computes the identical per-source running sum from count-balanced
+    doc_id range buckets + O(sources × buckets) broadcast offsets; no
+    global sort, no driver state, no single-task stage. Per-shard
+    deterministic pack order (doc_id) is what real pipelines (and
+    this oracle) pin down.
     """
     from ..functions.text import token_count
+    from ..operators.quantiles import running_totals_grouped
 
     docs = load(spark, "documents", sf_dir)
-    from pyspark.sql import Window
-
-    win = (
-        Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     t = docs.select("source", "doc_id", token_count("text").alias("n_tokens"))
-    o = t.withColumn(
-        "start_off", F.sum("n_tokens").over(win) - F.col("n_tokens")
-    )
+    o = running_totals_grouped(
+        t, ["source"], ["doc_id"], ["n_tokens"], prefix="__cum_"
+    ).withColumn("start_off", F.col("__cum_n_tokens") - F.col("n_tokens"))
     return (
         o.groupBy(
             "source",

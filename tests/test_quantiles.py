@@ -468,3 +468,73 @@ def test_rank_queries_have_no_per_group_sort_window(spark, sf_dir, name):
     assert "SinglePartition" not in plan
     assert "percent_rank(" not in plan
     assert "cume_dist(" not in plan
+
+
+# ---- running_totals_grouped (per-group running sums, r10) ----
+
+
+def test_grouped_running_totals_match_spark_window(spark):
+    from museum_image_etl_gridfs_spark.operators.quantiles import (
+        running_totals_grouped,
+    )
+
+    rows = [
+        ("big" if i % 10 else f"small{i % 7}", i, (i * 13) % 29)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long").repartition(8)
+    got = {
+        (r["g"], r["id"]): r["cum_v"]
+        for r in running_totals_grouped(df, ["g"], ["id"], ["v"]).collect()
+    }
+    # reference running sums computed in Python (subtract() against a
+    # same-lineage window frame trips a Spark 4 analyzer attribute-
+    # dedup bug over the checkpointed branch; value compare is exact)
+    import collections
+
+    acc: dict = collections.defaultdict(int)
+    want = {}
+    for g, i, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        acc[g] += v
+        want[(g, i)] = acc[g]
+    assert got == want
+
+
+def test_grouped_running_totals_no_single_task_and_null_guard(spark):
+    from museum_image_etl_gridfs_spark.operators.quantiles import (
+        running_totals_grouped,
+    )
+
+    rows = [(f"g{i % 3}", i, i * 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, id long, v long").repartition(4)
+    out = running_totals_grouped(df, ["g"], ["id"], ["v"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+    bad = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, None)], "g string, id long, v long"
+    )
+    with pytest.raises(ValueError, match="NULL values in 'v'"):
+        running_totals_grouped(bad, ["g"], ["id"], ["v"])
+
+
+def test_grouped_ops_single_unique_order_key_regression(spark):
+    """r10 regression pin: a SINGLE unique numeric order key used to
+    die with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — Catalyst constraint
+    inference pushed a filter into the deduplicated self-join branch
+    whose HOF lambda still captured the left side's attribute. The
+    eager offsets checkpoint severs that lineage (quantiles.py)."""
+    from museum_image_etl_gridfs_spark.operators.quantiles import (
+        running_totals_grouped,
+    )
+
+    rows = [
+        ("big" if i % 10 else f"small{i % 7}", i, (i * 13) % 29)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long").repartition(8)
+    assert ntile_exact_grouped(df, ["g"], ["id"], 3).count() == 800
+    assert grouped_rank_stats(df, ["g"], ["id"], rank_col="rk").count() == 800
+    assert running_totals_grouped(df, ["g"], ["id"], ["v"]).count() == 800
