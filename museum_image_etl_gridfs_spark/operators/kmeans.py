@@ -164,18 +164,21 @@ def semantic_dedup(
     cluster (farthest-from-centroid keeps the diverse examples;
     near-centroid points are the semantically redundant ones).
     Deterministic tiebreak on id. Returns (id, cluster, sq_dist).
+
+    Per-cluster top-k via the two-phase partial merge
+    (:func:`~.topk.grouped_topk`, r10): k clusters over a corpus is
+    the low-cardinality-group window pathology — 1/k of all
+    embeddings through one sort task at any scale.
     """
-    from pyspark.sql import Window
+    from .topk import grouped_topk
 
     centroids = kmeans_fit(
         emb, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter
     )
     assigned = kmeans_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-    w = Window.partitionBy("cluster").orderBy(
-        F.col("sq_dist").desc(), F.col(id_col)
-    )
-    return (
-        assigned.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= keep_per_cluster)
-        .drop("__rn")
+    return grouped_topk(
+        assigned,
+        ["cluster"],
+        [("sq_dist", False), (id_col, True)],
+        keep_per_cluster,
     )

@@ -16,10 +16,11 @@ argument as hash-bucket stratified sampling
 Ranking uses ln(u)/w (monotone in u^(1/w), avoids the pow); ties are
 broken by the row key so the sample is a total function of the data.
 
-Scale shape: one window (a single shuffle by the group column); the
-reservoir never materializes anywhere — row_number + filter IS the
-reservoir. Per-group skew is the window's sort, handled the same way
-every other top-k-per-group in the repo is.
+Scale shape: per-group top-n via the two-phase partial merge
+(operators/topk.grouped_topk) — every partial is capped at n rows per
+(group, input-partition), so the reservoir never materializes anywhere
+and no single task sorts a whole group (r10; previously a per-group
+ranking window).
 
 Reference parity: the reference's only sampling is ``head(20)``
 (``/root/reference/src/ingestion.py:30`` caps downloads); this is the
@@ -30,7 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 #: 2^32 — the u denominator for the 8-hex-digit (32-bit) md5 prefix.
 _U_DENOM = float(1 << 32)
@@ -81,11 +81,22 @@ def weighted_reservoir_sample(
     only the valid rows rather than padding the reservoir with
     zero/negative-weight ones (which have sampling probability 0 by
     definition in A-ES). Oracles mirroring this operator must filter
-    ``weight > 0`` before ranking."""
+    ``weight > 0`` before ranking.
+
+    Scale shape (r10): per-group top-n via the two-phase partial
+    merge (:func:`~.topk.grouped_topk`) — a per-group ranking window
+    would sort the biggest group (source, shard) in ONE task at
+    corpus scale; the two-phase form caps every partial at n rows per
+    (group, input-partition). Same rows, same rank (the A-ES key +
+    id tiebreak is a strict total order)."""
+    from .topk import grouped_topk
+
     key = wrs_key(id_col, weight, salt=salt)
-    w = Window.partitionBy(group_col).orderBy(key.desc_nulls_last(), id_col)
-    return (
-        df.filter(key.isNotNull())
-        .withColumn("wrs_rank", F.row_number().over(w))
-        .filter(F.col("wrs_rank") <= n)
-    )
+    keyed = df.filter(key.isNotNull()).withColumn("__wrs_key", key)
+    return grouped_topk(
+        keyed,
+        [group_col],
+        [("__wrs_key", False), (id_col, True)],
+        n,
+        rn_col="wrs_rank",
+    ).drop("__wrs_key")
