@@ -90,8 +90,14 @@ def cosine_pairs_blocked(
     (cost grows O(n²) in total work regardless, as all-pairs must;
     the win is a vectorized constant factor and bounded task memory).
 
-    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b. ``threshold``
+    must be > 0: diagonal cells keep only the strict upper triangle
+    by ZEROING the rest, so a non-positive threshold would re-admit
+    the zeroed entries (and an all-pairs run at threshold ≤ 0 is the
+    full quadratic output anyway).
     """
+    if threshold <= 0:
+        raise ValueError("cosine_pairs_blocked: threshold must be > 0")
     blocked = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -123,28 +129,40 @@ def cosine_pairs_blocked(
             return ids, mat / norms
 
         for pdf in batches:
-            id_a, id_b, sims = [], [], []
             for blk_a, blk_b, ms_a, ms_b in zip(
                 pdf["blk_a"], pdf["blk_b"], pdf["ms_a"], pdf["ms_b"]
             ):
                 ia, ma = unpack(ms_a)
                 ib, mb = unpack(ms_b)
                 sim = np.round(ma @ mb.T, round_to)
+                if blk_a == blk_b and sim.size:
+                    # diagonal cell: strict upper triangle only — the
+                    # output is then duplicate-free by construction
+                    # (each id lives in exactly one block) and the
+                    # former dropDuplicates shuffle of the quadratic
+                    # pair stream disappears
+                    sim = np.triu(sim, k=1)
                 ai, bj = np.nonzero(sim >= threshold)
-                for i, j in zip(ai, bj):
-                    x, y = ia[i], ib[j]
-                    if x == y:
-                        continue
-                    lo, hi = (x, y) if x < y else (y, x)
-                    id_a.append(lo)
-                    id_b.append(hi)
-                    sims.append(float(sim[i, j]))
-            yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": sims})
+                if not ai.size:
+                    continue
+                # vectorized emit: a python per-pair append loop was
+                # the sf3 wall (hundreds of millions of hits)
+                xa, yb, sv = ia[ai], ib[bj], sim[ai, bj]
+                keep = xa != yb
+                xa, yb, sv = xa[keep], yb[keep], sv[keep]
+                lo = np.where(xa < yb, xa, yb)
+                hi = np.where(xa < yb, yb, xa)
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cos_sim": sv.astype(np.float64)}
+                )
+            yield pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
 
     id_type = blocked.schema["id"].dataType.simpleString()
     return pairs.mapInPandas(
         score, f"id_a {id_type}, id_b {id_type}, cos_sim double"
-    ).dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def jaccard_pairs_blocked(
@@ -165,7 +183,11 @@ def jaccard_pairs_blocked(
     one integer matmul (|A∩B| = Ia @ Ib.T; |A∪B| = |a|+|b|-∩).
     ``block_col`` is the blocking key (e.g. source) — pairs across
     blocks are never considered, exactly like the blocked SQL join.
+    ``threshold`` must be > 0 (diagonal cells zero their lower
+    triangle — see :func:`cosine_pairs_blocked`).
     """
+    if threshold <= 0:
+        raise ValueError("jaccard_pairs_blocked: threshold must be > 0")
     blk = F.col(block_col) if block_col else F.lit(0)
     packed = (
         docs.select(
@@ -191,6 +213,7 @@ def jaccard_pairs_blocked(
             (F.col("a.blk") == F.col("b.blk")) & (F.col("a.sub") <= F.col("b.sub")),
         )
         .select(
+            (F.col("a.sub") == F.col("b.sub")).alias("diag"),
             F.col("a.ms").alias("ms_a"),
             F.col("b.ms").alias("ms_b"),
         )
@@ -202,8 +225,7 @@ def jaccard_pairs_blocked(
         import pandas as pd
 
         for pdf in batches:
-            id_a, id_b, jacs = [], [], []
-            for ms_a, ms_b in zip(pdf["ms_a"], pdf["ms_b"]):
+            for diag, ms_a, ms_b in zip(pdf["diag"], pdf["ms_a"], pdf["ms_b"]):
                 sets_a = [(m["id"], set(m["ts"])) for m in ms_a]
                 sets_b = [(m["id"], set(m["ts"])) for m in ms_b]
                 vocab = {}
@@ -222,21 +244,40 @@ def jaccard_pairs_blocked(
                 union = size_a + size_b - inter
                 with np.errstate(divide="ignore", invalid="ignore"):
                     jac = np.where(union == 0, 0.0, inter / union)
+                if diag:
+                    # a diagonal cell pairs a sub-block with ITSELF:
+                    # keep the strict upper triangle so each unordered
+                    # pair is emitted exactly once (off-diagonal cells
+                    # are disjoint sub-blocks — already unique). This
+                    # makes the operator's output globally duplicate-
+                    # free BY CONSTRUCTION (every doc lives in exactly
+                    # one (block, sub)), killing the former
+                    # dropDuplicates — a full shuffle of the
+                    # output-quadratic pair stream (10 GB at sf3).
+                    jac = np.triu(jac, k=1) if jac.size else jac
                 xi, yj = np.nonzero(jac >= threshold)
-                for i, j in zip(xi, yj):
-                    x, y = sets_a[i][0], sets_b[j][0]
-                    if x == y:
-                        continue
-                    lo, hi = (x, y) if x < y else (y, x)
-                    id_a.append(lo)
-                    id_b.append(hi)
-                    jacs.append(float(jac[i, j]))
-            yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "jaccard": jacs})
+                if not xi.size:
+                    continue
+                # vectorized emit (the per-pair python loop was the
+                # sf3 wall: 400M list appends dominated the stage)
+                aid = np.array([t[0] for t in sets_a])
+                bid = np.array([t[0] for t in sets_b])
+                xa, yb, jv = aid[xi], bid[yj], jac[xi, yj]
+                keep = xa != yb
+                xa, yb, jv = xa[keep], yb[keep], jv[keep]
+                lo = np.where(xa < yb, xa, yb)
+                hi = np.where(xa < yb, yb, xa)
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "jaccard": jv.astype(np.float64)}
+                )
+            yield pd.DataFrame(
+                {"id_a": [], "id_b": [], "jaccard": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
 
     id_type = docs.schema[id_col].dataType.simpleString()
     return pairs.mapInPandas(
         score, f"id_a {id_type}, id_b {id_type}, jaccard double"
-    ).dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def ivf_topk(
