@@ -29,6 +29,24 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 from ..partitioning import spread
+from .topk import grouped_topk
+
+
+def _np_id_dtype(spark_type: str) -> str:
+    """numpy dtype for an EMPTY id column matching a Spark type.
+
+    The per-batch empty sentinel frames must carry the dataset's
+    actual id dtype — hardcoding int64 against a string id schema is
+    a silent Arrow type mismatch waiting on a serializer change.
+    """
+    return {
+        "bigint": "int64",
+        "int": "int32",
+        "smallint": "int16",
+        "tinyint": "int8",
+        "double": "float64",
+        "float": "float32",
+    }.get(spark_type, "object")
 
 
 def assign_cells(
@@ -91,10 +109,12 @@ def cosine_pairs_blocked(
     the win is a vectorized constant factor and bounded task memory).
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b. ``threshold``
-    must be > 0: diagonal cells keep only the strict upper triangle
-    by ZEROING the rest, so a non-positive threshold would re-admit
-    the zeroed entries (and an all-pairs run at threshold ≤ 0 is the
-    full quadratic output anyway).
+    must be > 0: diagonal cells keep each unordered pair once by
+    ZEROING the id_a ≥ id_b entries (an id-based mask — order-
+    independent across the self-join's two collect_list branches), so
+    a non-positive threshold would re-admit the zeroed entries (and
+    an all-pairs run at threshold ≤ 0 is the full quadratic output
+    anyway).
     """
     if threshold <= 0:
         raise ValueError("cosine_pairs_blocked: threshold must be > 0")
@@ -106,6 +126,12 @@ def cosine_pairs_blocked(
     packed = blocked.groupBy("blk").agg(
         F.collect_list(F.struct("id", "v")).alias("ms")
     )
+    # Round-robin the O(blocks²) pair rows across cores: the join's
+    # output inherits hash-partitioning on blk (n_blocks rows), so
+    # without this the CPU-bound matmul stage runs ~n_blocks-wide on
+    # any machine — the exact ceiling measured and fixed on
+    # jaccard_pairs_blocked (8/32 cores busy, 40 s → 15 s solo sf1).
+    para = emb.sparkSession.sparkContext.defaultParallelism
     pairs = (
         packed.alias("a")
         .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
@@ -115,7 +141,20 @@ def cosine_pairs_blocked(
             F.col("a.ms").alias("ms_a"),
             F.col("b.ms").alias("ms_b"),
         )
+        .repartition(max(para, n_blocks))
     )
+
+    id_type = blocked.schema["id"].dataType.simpleString()
+    score = _cosine_score_fn(threshold, round_to, _np_id_dtype(id_type))
+    return pairs.mapInPandas(
+        score, f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    )
+
+
+def _cosine_score_fn(threshold: float, round_to: int, id_np: str):
+    """Batch kernel for :func:`cosine_pairs_blocked` (module-level so
+    the diagonal id-mask is directly testable against PERMUTED packed
+    lists — local-mode end-to-end runs can't exercise permutation)."""
 
     def score(batches):
         import numpy as np
@@ -136,12 +175,19 @@ def cosine_pairs_blocked(
                 ib, mb = unpack(ms_b)
                 sim = np.round(ma @ mb.T, round_to)
                 if blk_a == blk_b and sim.size:
-                    # diagonal cell: strict upper triangle only — the
-                    # output is then duplicate-free by construction
-                    # (each id lives in exactly one block) and the
-                    # former dropDuplicates shuffle of the quadratic
-                    # pair stream disappears
-                    sim = np.triu(sim, k=1)
+                    # diagonal cell: keep each unordered pair once by
+                    # masking on the IDS (id_a < id_b), never on array
+                    # INDEX (np.triu): the self-join's two branches
+                    # each recompute the collect_list, whose element
+                    # order is not guaranteed identical across
+                    # executors/retries/AQE — an index triangle would
+                    # silently drop or duplicate pairs when the lists
+                    # are permuted relative to each other. The id mask
+                    # is order-independent, so the output stays
+                    # duplicate-free by construction (each id lives in
+                    # exactly one block) without a dropDuplicates
+                    # shuffle of the quadratic pair stream.
+                    sim = np.where(ia[:, None] < ib[None, :], sim, 0.0)
                 ai, bj = np.nonzero(sim >= threshold)
                 if not ai.size:
                     continue
@@ -157,12 +203,9 @@ def cosine_pairs_blocked(
                 )
             yield pd.DataFrame(
                 {"id_a": [], "id_b": [], "cos_sim": []}
-            ).astype({"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
+            ).astype({"id_a": id_np, "id_b": id_np, "cos_sim": "float64"})
 
-    id_type = blocked.schema["id"].dataType.simpleString()
-    return pairs.mapInPandas(
-        score, f"id_a {id_type}, id_b {id_type}, cos_sim double"
-    )
+    return score
 
 
 def jaccard_pairs_blocked(
@@ -183,8 +226,8 @@ def jaccard_pairs_blocked(
     one integer matmul (|A∩B| = Ia @ Ib.T; |A∪B| = |a|+|b|-∩).
     ``block_col`` is the blocking key (e.g. source) — pairs across
     blocks are never considered, exactly like the blocked SQL join.
-    ``threshold`` must be > 0 (diagonal cells zero their lower
-    triangle — see :func:`cosine_pairs_blocked`).
+    ``threshold`` must be > 0 (diagonal cells zero their id_a ≥ id_b
+    entries — see :func:`cosine_pairs_blocked`).
     """
     if threshold <= 0:
         raise ValueError("jaccard_pairs_blocked: threshold must be > 0")
@@ -220,6 +263,18 @@ def jaccard_pairs_blocked(
         .repartition(max(para, n_sub_blocks))
     )
 
+    id_type = docs.schema[id_col].dataType.simpleString()
+    score = _jaccard_score_fn(threshold, _np_id_dtype(id_type))
+    return pairs.mapInPandas(
+        score, f"id_a {id_type}, id_b {id_type}, jaccard double"
+    )
+
+
+def _jaccard_score_fn(threshold: float, id_np: str):
+    """Batch kernel for :func:`jaccard_pairs_blocked` (module-level so
+    the diagonal id-mask is directly testable against PERMUTED packed
+    lists — see :func:`_cosine_score_fn`)."""
+
     def score(batches):
         import numpy as np
         import pandas as pd
@@ -244,24 +299,28 @@ def jaccard_pairs_blocked(
                 union = size_a + size_b - inter
                 with np.errstate(divide="ignore", invalid="ignore"):
                     jac = np.where(union == 0, 0.0, inter / union)
-                if diag:
+                aid = np.array([t[0] for t in sets_a])
+                bid = np.array([t[0] for t in sets_b])
+                if diag and jac.size:
                     # a diagonal cell pairs a sub-block with ITSELF:
-                    # keep the strict upper triangle so each unordered
-                    # pair is emitted exactly once (off-diagonal cells
-                    # are disjoint sub-blocks — already unique). This
-                    # makes the operator's output globally duplicate-
-                    # free BY CONSTRUCTION (every doc lives in exactly
-                    # one (block, sub)), killing the former
+                    # keep each unordered pair exactly once by masking
+                    # on the IDS (id_a < id_b), never on array INDEX
+                    # (np.triu) — the self-join's two collect_list
+                    # branches are recomputed independently and their
+                    # element order is not guaranteed to match across
+                    # executors/retries/AQE; an index triangle would
+                    # silently drop or duplicate pairs under
+                    # permutation. Id masking keeps the output
+                    # duplicate-free BY CONSTRUCTION (every doc lives
+                    # in exactly one (block, sub)) with no
                     # dropDuplicates — a full shuffle of the
                     # output-quadratic pair stream (10 GB at sf3).
-                    jac = np.triu(jac, k=1) if jac.size else jac
+                    jac = np.where(aid[:, None] < bid[None, :], jac, 0.0)
                 xi, yj = np.nonzero(jac >= threshold)
                 if not xi.size:
                     continue
                 # vectorized emit (the per-pair python loop was the
                 # sf3 wall: 400M list appends dominated the stage)
-                aid = np.array([t[0] for t in sets_a])
-                bid = np.array([t[0] for t in sets_b])
                 xa, yb, jv = aid[xi], bid[yj], jac[xi, yj]
                 keep = xa != yb
                 xa, yb, jv = xa[keep], yb[keep], jv[keep]
@@ -272,12 +331,9 @@ def jaccard_pairs_blocked(
                 )
             yield pd.DataFrame(
                 {"id_a": [], "id_b": [], "jaccard": []}
-            ).astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+            ).astype({"id_a": id_np, "id_b": id_np, "jaccard": "float64"})
 
-    id_type = docs.schema[id_col].dataType.simpleString()
-    return pairs.mapInPandas(
-        score, f"id_a {id_type}, id_b {id_type}, jaccard double"
-    )
+    return score
 
 
 def ivf_topk(
@@ -317,7 +373,11 @@ def ivf_topk(
         .select(qid_col, qvec_col, "cell_id")
     )
 
-    # score only inside probed cells (the partition-pruning analog)
+    # Score only inside probed cells (the partition-pruning analog).
+    # (qid, neighbor) pairs are distinct BY CONSTRUCTION — cell
+    # assignment is argmin-unique per vector (row_number == 1 above)
+    # and probes are distinct cells per query — so no dedup shuffle
+    # of the candidate stream is needed.
     cand = assigned.join(
         F.broadcast(probes), on="cell_id"
     ).filter(F.col(id_col) != F.col(qid_col))
@@ -325,12 +385,11 @@ def ivf_topk(
         qid_col,
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("score"),
-    ).dropDuplicates([qid_col, "neighbor_id"])
-    w = Window.partitionBy(qid_col).orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= top_k)
-        .select(qid_col, "neighbor_id", "score")
+    # final rank via the two-phase partial top-k merge: a per-qid
+    # row_number window would funnel ~n_probe/K of the corpus through
+    # one task per query at scale — the shape grouped_topk exists to
+    # kill (same routing as cosine_topk / l2_nearest).
+    return grouped_topk(
+        scored, [qid_col], [("score", False), ("neighbor_id", True)], top_k
     )

@@ -576,7 +576,7 @@ def running_totals_grouped(
     # eager checkpoint before the self-join — same constraint-
     # inference lambda-capture hazard as _join_grouped_offsets
     offs = tracked_local_checkpoint(offs, eager=True)
-    out = t.join(F.broadcast(offs), [*gks, "__pid"])
+    out = _nullsafe_offsets_join(t, offs, gks)
     local = (
         Window.partitionBy(*gks, "__pid")
         .orderBy(*order_keys)
@@ -589,6 +589,41 @@ def running_totals_grouped(
             (F.sum(c).over(local) + F.col(f"__off_{c}")).cast(dt),
         )
     return out.drop("__pid", *[f"__off_{c}" for c in value_cols])
+
+
+def _nullsafe_offsets_join(
+    t: DataFrame, offs: DataFrame, gks: list[str]
+) -> DataFrame:
+    """Inner-join ``t`` onto the broadcast offsets relation on
+    ``(group keys, __pid)`` with NULL-SAFE equality on the group keys.
+
+    ANSI windows keep a NULL partition key as its own partition (and
+    the DuckDB oracles do too); a plain equality join here would
+    silently DROP every row whose group key is NULL — the one place
+    in the grouped machinery where NULL groups could vanish without a
+    trace (``_with_range_pid`` already raises loudly on NULL ORDER
+    keys). ``__pid`` itself is never NULL.
+
+    Mechanism: each group key is wrapped in a one-field struct on
+    both sides and the join stays a name-list USING join — struct
+    ``EqualTo`` compares fields null-safely (the classic null-safe
+    join idiom), and the name-list form keeps the plan in the shape
+    the eager offsets checkpoint already protects. An explicit
+    ``eqNullSafe`` join CONDITION was tried and rejected: under a
+    self-referencing compare (subtract against a same-lineage window)
+    Catalyst's attribute dedup re-binds the condition against the
+    deduplicated branch and dies with INTERNAL_ERROR_ATTRIBUTE_NOT_
+    FOUND — the same inference hazard documented at the checkpoint
+    site below.
+    """
+    jks = []
+    for i, g in enumerate(gks):
+        jk = f"__gjk_{i}"
+        wrapped = F.struct(F.col(g).alias("v")).alias(jk)
+        t = t.withColumn(jk, wrapped)
+        offs = offs.withColumn(jk, wrapped).drop(g)
+        jks.append(jk)
+    return t.join(F.broadcast(offs), [*jks, "__pid"]).drop(*jks)
 
 
 def _join_grouped_offsets(t: DataFrame, gks: list[str]) -> DataFrame:
@@ -624,7 +659,7 @@ def _join_grouped_offsets(t: DataFrame, gks: list[str]) -> DataFrame:
     # leaves the inference nothing to substitute into — and the tiny
     # relation is computed once instead of per consumer.
     offs = tracked_local_checkpoint(offs, eager=True)
-    return t.join(F.broadcast(offs), [*gks, "__pid"])
+    return _nullsafe_offsets_join(t, offs, gks)
 
 
 def grouped_rank_stats(

@@ -28,10 +28,17 @@ Contract:
 - ``order_by`` must be a strict total order (include a tiebreak key)
   for a deterministic result — exactly ANSI ``row_number``'s own
   determinism rule;
-- DESC keys must be numeric / timestamp (encoded as the negated
-  double-castable value); ASC keys may be any orderable type;
+- DESC keys must be numeric / timestamp (encoded order-reversed; a
+  float/double DESC key gets a leading NaN-flag field so NaN sorts
+  FIRST, matching ``desc()``'s NaN-is-largest rule, and integral keys
+  negate through DECIMAL so Long.MIN_VALUE cannot overflow); ASC keys
+  may be any orderable type;
 - order keys must be non-NULL (engines disagree on NULL order, and a
-  NULL field would poison the struct comparison).
+  NULL field would poison the struct comparison);
+- the input may not contain MapType columns anywhere in its schema —
+  the full row rides inside the sort struct and maps are unorderable
+  (a clear error is raised; serialize maps to json or drop them
+  first).
 """
 
 from __future__ import annotations
@@ -61,6 +68,17 @@ def grouped_topk(
     columns are ``df``'s, plus ``rn_col`` (1-based rank) if given.
     """
     gks = list(group_keys)
+    maps = [
+        f.name
+        for f in df.schema.fields
+        if "map<" in f.dataType.simpleString()
+    ]
+    if maps:
+        raise ValueError(
+            f"grouped_topk: input columns {maps!r} contain MapType — the "
+            "full row is embedded in the sort struct and maps are "
+            "unorderable; serialize them (to_json) or drop them first"
+        )
     keys = []
     for i, (name, asc) in enumerate(order_by):
         c = F.col(name)
@@ -68,6 +86,20 @@ def grouped_topk(
             dt = df.schema[name].dataType
             if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
                 c = -c.cast("double")
+            elif isinstance(dt, (T.DoubleType, T.FloatType)):
+                # desc() treats NaN as the LARGEST value; negation
+                # leaves NaN as NaN, which sorts LAST ascending — so a
+                # leading flag puts NaN rows first (flag 0) and the
+                # negated finite value orders the rest
+                keys.append(
+                    F.when(F.isnan(c), F.lit(0)).otherwise(F.lit(1))
+                    .alias(f"__k{i}n")
+                )
+                c = F.when(F.isnan(c), F.lit(0.0)).otherwise(-c)
+            elif isinstance(dt, T.IntegralType):
+                # negate through DECIMAL: -Long.MIN_VALUE overflows
+                # bigint (wraps, or throws under ANSI)
+                c = -c.cast("decimal(20,0)")
             elif isinstance(dt, T.NumericType):
                 c = -c
             else:

@@ -84,3 +84,25 @@ def test_lsh_bucket_histogram_invariants(spark, sf_dir):
     assert all(0 <= r["bucket"] < 256 for r in rows)
     total = sum(r["n_vectors"] for r in rows)
     assert total == _emb(spark, sf_dir).count()
+
+
+def test_ivf_plan_has_no_per_qid_rank_window(spark, sf_dir):
+    """VERDICT r10 #2: the final rank must be the two-phase
+    grouped_topk merge, not a per-qid row_number window over the
+    probed candidate set (each query would funnel ~n_probe/K of the
+    corpus through one task at scale), and the candidate stream must
+    not pay a redundant dropDuplicates shuffle."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(spark, sf_dir)
+    out = ivf_topk(emb, q, k_cells=K_CELLS, n_probe=2, top_k=TOP_K)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # windows remain in cell assignment (per-vector id — high
+    # cardinality) and probe selection (K rows per query); neither
+    # ranks the scored candidate stream. The scored stream feeds the
+    # partial-topk aggregate, so no window may take `score` as input.
+    assert "score" not in [
+        ln for ln in plan.splitlines() if "Window" in ln
+    ].__str__()
+    assert "dropDuplicates" not in plan.lower()

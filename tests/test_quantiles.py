@@ -538,3 +538,59 @@ def test_grouped_ops_single_unique_order_key_regression(spark):
     assert ntile_exact_grouped(df, ["g"], ["id"], 3).count() == 800
     assert grouped_rank_stats(df, ["g"], ["id"], rank_col="rk").count() == 800
     assert running_totals_grouped(df, ["g"], ["id"], ["v"]).count() == 800
+
+
+# ---- NULL group keys are their own partition (ADVICE r10 medium) ----
+
+
+def test_rank_stats_null_group_keys_kept(spark):
+    """Rows whose GROUP key is NULL must be ranked as their own
+    partition — ANSI window semantics (and the DuckDB oracles) keep a
+    NULL partition key; a plain-equality offsets join would silently
+    DROP those rows (the fix is the null-safe offsets join in
+    quantiles._nullsafe_offsets_join)."""
+    rows = [
+        (None if i % 4 == 0 else f"g{i % 3}", float((i * 7) % 23), i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    assert (
+        grouped_rank_stats(
+            df.repartition(4), ["g"], ["v", "id"], rank_col="rk"
+        ).count()
+        == 200
+    )
+    _assert_rank_stats_match(df.repartition(4), ["g"], ["v", "id"])
+
+
+def test_grouped_ntile_null_group_keys_kept(spark):
+    rows = [
+        (None if i % 5 == 0 else f"g{i % 3}", float(i % 17), i)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    _assert_grouped_matches(df.repartition(4), ["g"], ["v", "id"], 3)
+
+
+def test_grouped_running_totals_null_group_keys_kept(spark):
+    from museum_image_etl_gridfs_spark.operators.quantiles import (
+        running_totals_grouped,
+    )
+
+    rows = [
+        (None if i % 4 == 0 else f"g{i % 3}", i, (i * 13) % 29)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long").repartition(4)
+    got = {
+        (r["g"], r["id"]): r["cum_v"]
+        for r in running_totals_grouped(df, ["g"], ["id"], ["v"]).collect()
+    }
+    import collections
+
+    acc: dict = collections.defaultdict(int)
+    want = {}
+    for g, i, v in sorted(rows, key=lambda r: (r[0] or "", r[1])):
+        acc[g] += v
+        want[(g, i)] = acc[g]
+    assert got == want

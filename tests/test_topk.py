@@ -93,3 +93,47 @@ def test_empty_input(spark):
     out = grouped_topk(df, ["g"], [("v", True), ("id", True)], 3, rn_col="rn")
     assert out.count() == 0
     assert out.columns == ["g", "v", "id", "rn"]
+
+
+def test_desc_double_nan_sorts_first_like_window(spark):
+    """ADVICE r10: desc() treats NaN as the LARGEST double, so NaN
+    rows must rank FIRST under a DESC double key — naive negation
+    leaves NaN sorting last. The NaN-flag encoding restores window
+    equivalence."""
+    rows = [
+        ("a", float("nan"), 1),
+        ("a", 5.0, 2),
+        ("a", float("nan"), 3),
+        ("a", 7.0, 4),
+        ("b", 1.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    _assert_matches(df.repartition(3), ["g"], [("v", False), ("id", True)], 3)
+
+
+def test_desc_long_min_value_no_overflow(spark):
+    """ADVICE r10: negating Long.MIN_VALUE wraps (or throws under
+    ANSI) — the DECIMAL negation path must rank it LAST under DESC."""
+    lmin = -(2**63)
+    lmax = 2**63 - 1
+    rows = [("a", lmin, 1), ("a", 0, 2), ("a", lmax, 3), ("a", -5, 4)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    out = grouped_topk(
+        df, ["g"], [("v", False), ("id", True)], 4, rn_col="rn"
+    )
+    got = {r["id"]: r["rn"] for r in out.collect()}
+    assert got == {3: 1, 2: 2, 4: 3, 1: 4}
+
+
+def test_map_column_rejected_with_clear_error(spark):
+    """ADVICE r10: the full row rides inside the sort struct, so a
+    MapType column fails at ANALYSIS time with an opaque unorderable-
+    type error — raise a clear contract error instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1, {"k": "v"})],
+        "g string, v double, id long, m map<string,string>",
+    )
+    with pytest.raises(ValueError, match="MapType"):
+        grouped_topk(df, ["g"], [("v", True), ("id", True)], 2)
