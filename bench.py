@@ -131,38 +131,58 @@ def main() -> None:
         except (OSError, IndexError, ValueError):
             return 0
 
-    # pre-flight window check (VERDICT r7 item 5): the r7 driver bench
-    # landed in a 3.6%-steal window and recorded 10.27 s for code that
-    # reads 8.26 s clean. If the host looks contended right now
-    # (loadavg above ~1.5x cores, or steal accruing > ~2% over a short
-    # probe), sleep once and re-probe before starting the timed reps —
-    # a single bounded retry, so a permanently-busy host still gets a
-    # bench, just an annotated one.
+    # pre-flight window gate (VERDICT r10 item 5, tightened from the
+    # r8 single-retry probe): round 10 produced ZERO clean headline
+    # readings because one bounded retry gives up inside a multi-minute
+    # co-tenant burst. The gate now WAITS for a genuinely clean window
+    # — steal accruing < 1% of one cpu over the probe AND 1-min loadavg
+    # below cores/4 — re-probing every $SPARK_GRAFT_BENCH_PREFLIGHT_WAIT
+    # seconds (default 45) up to a total budget of
+    # $SPARK_GRAFT_BENCH_PREFLIGHT_BUDGET seconds (default 900). Every
+    # probe lands in the ledger, so a reader sees exactly what the
+    # host looked like before timing started; if the budget runs out
+    # the bench still runs, annotated ``clean: false`` — adjudicable
+    # on its face either way.
     n_cpus = os.cpu_count() or 32
-    preflight = {"retried": False}
+    preflight: dict = {"probes": [], "clean": False, "retried": False}
 
-    def _window_hostile() -> tuple[bool, float, float]:
+    def _probe_window() -> tuple[float, float]:
         s0 = _steal_cs()
         time.sleep(2.0)
         steal_pct = (_steal_cs() - s0) / (2.0 * n_cpus)  # % of one cpu
-        load = os.getloadavg()[0]
-        return (load > 1.5 * n_cpus or steal_pct > 2.0), load, steal_pct
+        return os.getloadavg()[0], steal_pct
 
-    hostile, load, steal_pct = _window_hostile()
-    preflight["loadavg1"] = round(load, 2)
-    preflight["steal_pct"] = round(steal_pct, 2)
-    if hostile:
-        wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_PREFLIGHT_WAIT", "60"))
+    wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_PREFLIGHT_WAIT", "45"))
+    budget_s = float(
+        os.environ.get("SPARK_GRAFT_BENCH_PREFLIGHT_BUDGET", "900")
+    )
+    gate_t0 = time.monotonic()
+    while True:
+        load, steal_pct = _probe_window()
+        preflight["probes"].append(
+            {"loadavg1": round(load, 2), "steal_pct": round(steal_pct, 2)}
+        )
+        if load < n_cpus / 4 and steal_pct < 1.0:
+            preflight["clean"] = True
+            break
+        if time.monotonic() - gate_t0 + wait_s > budget_s:
+            print(
+                f"[bench] pre-flight: no clean window within {budget_s:.0f}s "
+                f"(last: loadavg {load:.1f}, steal {steal_pct:.1f}%) — "
+                "timing anyway, ledger marked dirty",
+                file=sys.stderr,
+            )
+            break
+        preflight["retried"] = True
         print(
             f"[bench] pre-flight: contended window (loadavg {load:.1f}, "
-            f"steal {steal_pct:.1f}%) — sleeping {wait_s}s and retrying once",
+            f"steal {steal_pct:.1f}%) — sleeping {wait_s}s and re-probing",
             file=sys.stderr,
         )
         time.sleep(wait_s)
-        preflight["retried"] = True
-        _, load, steal_pct = _window_hostile()
-        preflight["loadavg1_after_retry"] = round(load, 2)
-        preflight["steal_pct_after_retry"] = round(steal_pct, 2)
+    # keep the r8 ledger field names for trend tooling
+    preflight["loadavg1"] = preflight["probes"][-1]["loadavg1"]
+    preflight["steal_pct"] = preflight["probes"][-1]["steal_pct"]
 
     steal0, wall0 = _steal_cs(), time.perf_counter()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

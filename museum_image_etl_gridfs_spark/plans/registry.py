@@ -100,18 +100,22 @@ DRIVER_PREFIX = 50
 #: at most this many never-driver-green oracle-checkable queries may
 #: jump ahead of the stale band per round, so a wave of new queries
 #: cannot starve the rotation (the r7 wave pushed user_event_type_map
-#: past the staleness promise). Raised 2 -> 3 for r10 per VERDICT r9
-#: item 2 (drain the r9 wave by r11); drop back to 2 once the
-#: never-green queue is empty.
-NEVER_GREEN_CAP = 3
+#: past the staleness promise). Raised 3 -> 5 for r11 per VERDICT r10
+#: item 3: the queue was not shrinking (r10 drained 3 and added 3) —
+#: drain ALL five in one round so union coverage reaches 192/192;
+#: r11's own additions queue behind via ``_NEVER_GREEN_FIRST`` and
+#: lead r12. Drop back to 2-3 once the queue stays empty.
+NEVER_GREEN_CAP = 5
 
 #: never-green queries to drain FIRST, ahead of registration order
-#: (VERDICT r9 item 2 names the r10 set; the rest follow in
-#: registration order next round).
+#: (VERDICT r10 item 3 names the full r11 set; anything newer follows
+#: in registration order next round).
 _NEVER_GREEN_FIRST = (
-    "softdedup_weights",
-    "distinct_ngram_diversity",
-    "source_overlap_matrix",
+    "doremi_domain_weights",
+    "data_constrained_epochs",
+    "gopher_top_ngram_fraction",
+    "classifier_calibration",
+    "corpus_power_laws",
 )
 
 #: staleness promise: every oracle-checkable query re-verified by the
