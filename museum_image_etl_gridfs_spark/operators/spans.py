@@ -276,3 +276,276 @@ def top_dup_grams(
         .orderBy(F.desc("occurrences"), "gram")
         .limit(top_n)
     )
+
+
+#: Gopher repetition thresholds (Rae et al., arXiv 2112.11446,
+#: Table A1): a document is flagged when the fraction of characters
+#: inside WITHIN-DOC duplicated n-grams exceeds the n's threshold.
+GOPHER_DUP_NGRAM_THRESHOLDS: dict[int, float] = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def dup_ngram_char_fraction(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    thresholds: dict[int, float] | None = None,
+) -> DataFrame:
+    """Per-(document, n) fraction of characters covered by WITHIN-DOC
+    duplicated n-grams — the second half of Gopher's repetition rule
+    family (Rae et al. 2112.11446 Table A1 "duplicate n-grams,
+    fraction of characters", n = 5..10; the top-n-gram half lives in
+    ``gopher_top_ngram_fraction``).
+
+    Characters are counted over the space-joined normalized token
+    stream (deterministic in both engines regardless of the source
+    whitespace), and overlapping duplicated grams are counted ONCE —
+    an exact interval union per (doc, n), not a sum of gram lengths.
+
+    Output: (id, n, dup_chars, total_chars, dup_char_frac, flagged).
+    One row per document per n (documents shorter than n tokens get
+    0 / frac 0.0). An ``n`` with no threshold (neither published nor
+    passed in ``thresholds``) is measured but NEVER flagged.
+
+    100 TB shape — everything rides ONE exchange on the document id:
+
+    1. posexplode tokens once; cumulative char offsets and the
+       n-gram identities for EVERY n come from lead() columns over
+       the (id, token-index) window (the corpus is tokenized once —
+       the gopher_top_ngram_fraction trick, with spans added);
+    2. within-doc duplicate marking is an unordered COUNT window over
+       (id, n, gram-hash) — its partition is bounded by the document
+       length and its clustering requirement is satisfied by the
+       id-hash exchange already in place (id ⊆ keys), so no second
+       shuffle;
+    3. the interval union is the classic sweep: sort each (id, n)
+       slice by span start, running max of span end over the
+       PRECEDING rows, contribution = max(0, end − max(start,
+       prev_max)) — again bounded by doc length, again no new
+       exchange;
+    4. only the final per-(id, n) sums aggregate across the corpus.
+
+    Gram identity is the 64-bit ``xxhash64`` of the n token columns —
+    the same 2⁻⁶⁴-per-pair trade :func:`duplicated_spans` documents.
+
+    Reference parity: the reference engine has no text analytics
+    (its pipeline is fetch/resize/store,
+    /root/reference/src/transform_load.py); this operator is part of
+    the LLM-curation extension surface.
+    """
+    from ..partitioning import spread
+
+    thr = dict(GOPHER_DUP_NGRAM_THRESHOLDS)
+    if thresholds:
+        thr.update(thresholds)
+    ns = tuple(sorted(set(ns)))
+    max_n = max(ns)
+
+    toks = norm_tokens(text_col)
+    exploded = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(toks).alias("__i", "__tok"),
+    )
+    w = Window.partitionBy("id").orderBy("__i")
+    # inclusive running sum of (len + 1 separator): token __i covers
+    # chars [cum - len - 1, cum - 1) of the space-joined stream
+    cum = F.sum(F.length("__tok") + F.lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = exploded.select(
+        "id",
+        "__i",
+        "__tok",
+        (cum - F.length("__tok") - F.lit(1)).alias("__gstart"),
+        (cum - F.lit(1)).alias("__tend"),
+        *[
+            F.lead("__tok", j).over(w).alias(f"__t{j}")
+            for j in range(1, max_n)
+        ],
+        *[
+            F.lead(cum - F.lit(1), n - 1).over(w).alias(f"__e{n}")
+            for n in ns
+        ],
+    )
+    grams = F.array(
+        *[
+            F.when(
+                F.col(f"__t{n - 1}").isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.xxhash64(
+                        "__tok", *[f"__t{j}" for j in range(1, n)]
+                    ).alias("gh"),
+                    F.col("__gstart").alias("gstart"),
+                    F.col(f"__e{n}").alias("gend"),
+                ),
+            )
+            for n in ns
+        ]
+    )
+    occ = (
+        base.select("id", F.explode(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("id", "g.n", "g.gh", "g.gstart", "g.gend")
+    )
+    # within-doc duplicate test: unordered count window, partition
+    # bounded by doc length, clustering satisfied by the id exchange
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("id", "n", "gh"))
+    dups = occ.withColumn("__c", cnt).filter(F.col("__c") >= 2)
+    # interval union sweep per (id, n): gstart is unique within the
+    # slice (one gram per start position), so the order is total
+    wcov = Window.partitionBy("id", "n").orderBy("gstart")
+    pmax = F.max("gend").over(
+        wcov.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("gend")
+        - F.greatest(F.col("gstart"), F.coalesce(pmax, F.col("gstart"))),
+    )
+    dup_chars = (
+        dups.select("id", "n", contrib.alias("__contrib"))
+        .groupBy("id", "n")
+        .agg(F.sum("__contrib").alias("dup_chars"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.array_join(toks, " ")).cast("long").alias("total_chars"),
+        F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
+    )
+    thr_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for n in ns for x in (n, float(thr.get(n, 1.0)))]
+        ),
+        F.col("n"),
+    )
+    out = (
+        totals.join(dup_chars, ["id", "n"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n",
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            "total_chars",
+        )
+        .withColumn(
+            "dup_char_frac",
+            F.when(F.col("total_chars") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("dup_chars").cast("double")
+                    / F.col("total_chars").cast("double"),
+                    6,
+                )
+            ),
+        )
+    )
+    return out.withColumn("flagged", F.col("dup_char_frac") > thr_col)
+
+
+def substring_dedup_rewrite(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact substring dedup REWRITE (Lee et al. ACL'22 §4,
+    ExactSubstr: "remove all but one occurrence"): cut every
+    corpus-duplicated >= k-token span from each document, keeping each
+    duplicated gram's globally FIRST occurrence (min (id, pos) —
+    deterministic), and return the rewritten text.
+
+    Output: (id, orig_tokens, removed_tokens, kept_text), one row per
+    input document. ``kept_text`` is the NORMALIZED token stream
+    (lower/trim, single spaces) minus the removed spans; a fully
+    duplicated document yields ``''``.
+
+    Plan shape (100 TB posture — same backbone as
+    :func:`duplicated_spans`):
+
+    1. hash-gram inventory (codegen, no strings);
+    2. per-gram aggregate carrying count + min (id, pos) — map-side
+       combined, one shuffle on the gram hash;
+    3. removal occurrences = duplicated grams' non-first occurrences
+       (join back on the hash; AQE splits hot grams);
+    4. gap-and-islands per doc merges removal grams into disjoint
+       covered spans (doc-local window);
+    5. covered token indices explode from the disjoint spans,
+       LEFT ANTI join against the token inventory on (id, index) —
+       all map-side-combinable keys, bounded by corpus token count;
+    6. per-doc rebuild: sort_array over the collected (index, token)
+       structs (bounded by document length), concat.
+
+    Reference parity: no substring analytics in the reference (its
+    dedup is whole-value $group, transform_load.py:48-50) — LLM
+    curation extension surface.
+    """
+    from ..partitioning import spread
+
+    occ = gram_hash_occurrences(df, id_col=id_col, text_col=text_col, k=k)
+    firsts = (
+        occ.groupBy("__gh")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(
+                F.struct(F.col(id_col).alias("id"), F.col("pos").alias("pos"))
+            ).alias("__first"),
+        )
+        .filter(F.col("__c") >= 2)
+        .select("__gh", "__first")
+    )
+    removals = (
+        occ.join(firsts, "__gh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__first.id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    spans = (
+        removals.select(id_col, "pos", F.sum(brk).over(w).alias("__island"))
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("__s"),
+            (F.max("pos") + F.lit(k - 1)).alias("__e"),
+        )
+    )
+    # islands are disjoint per doc by construction -> the exploded
+    # index stream is duplicate-free, no distinct needed
+    covered = spans.select(
+        id_col, F.explode(F.sequence("__s", "__e")).alias("__idx")
+    )
+    toks = norm_tokens(text_col)
+    tokens = spread(df, id_col).select(
+        F.col(id_col), F.posexplode(toks).alias("__i0", "__tok")
+    ).select(id_col, (F.col("__i0") + 1).cast("long").alias("__idx"), "__tok")
+    kept = tokens.join(covered, [id_col, "__idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__idx", F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+        ).alias("kept_text"),
+    )
+    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("orig_tokens"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "orig_tokens",
+        (F.col("orig_tokens") - F.coalesce("__kept", F.lit(0))).alias(
+            "removed_tokens"
+        ),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )

@@ -269,3 +269,75 @@ def incremental_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame
         min_jaccard=0.4,
         new_col="is_new",
     )
+
+
+@query(
+    "substring_dedup_rewrite",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS ts
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i AS pos, array_to_string(ts[i:i + {_SPAN_K - 1}], ' ') AS g
+        FROM toks, UNNEST(range(1, len(ts) - {_SPAN_K} + 2)) AS r(i)
+        WHERE len(ts) >= {_SPAN_K}
+    ),
+    ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM occ
+    ),
+    removals AS (SELECT doc_id, pos FROM ranked WHERE rn >= 2),
+    brks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER w <= {_SPAN_K}
+                    THEN 0 ELSE 1 END AS brk
+        FROM removals WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brks
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    kept AS (
+        SELECT t.doc_id, r.i, t.ts[r.i] AS tok
+        FROM toks t, UNNEST(range(1, len(t.ts) + 1)) AS r(i)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id AND r.i BETWEEN s.s AND s.e)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS kept_tokens,
+               array_to_string(list(tok ORDER BY i), ' ') AS kept_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS orig_tokens,
+           CAST(len(t.ts) AS BIGINT) - coalesce(a.kept_tokens, 0)
+               AS removed_tokens,
+           coalesce(a.kept_text, '') AS kept_text
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("dedup", "substring", "rewrite", "extension"),
+)
+def substring_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup REWRITE (Lee et al. ACL'22 ExactSubstr,
+    "remove all but one occurrence"): the action stage that consumes
+    ``duplicated_spans``' analysis — every corpus-repeated >= 5-token
+    span is CUT from each document except the gram's globally first
+    occurrence, and the rewritten (normalized) text is emitted with
+    before/after token counts. See
+    ``operators/spans.py::substring_dedup_rewrite`` for the plan
+    shape (hash grams, keep-first per gram, islands, anti-join,
+    doc-local rebuild)."""
+    from ..operators.spans import substring_dedup_rewrite
+
+    docs = load(spark, "documents", sf_dir)
+    return substring_dedup_rewrite(docs, k=_SPAN_K)

@@ -2253,3 +2253,94 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_weighted_score"),
     )
+
+
+_DUP_NGRAM_NS = (2, 3, 4, 5)
+#: fixture-scale thresholds: the published Gopher table covers
+#: n = 5..10 only (0.15..0.10); the sub-5 levels borrow the top-ngram
+#: thresholds so the flag column is non-vacuous on the short synthetic
+#: documents (10-99 tokens, 30-word vocabulary — within-doc duplicated
+#: grams exist at n = 2..4 and are provably absent at n >= 5, which
+#: exercises the zero path).
+_DUP_NGRAM_THR = {2: 0.20, 3: 0.18, 4: 0.16, 5: 0.15}
+
+
+@query(
+    "gopher_dup_ngram_chars",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_WORDS_LOWER} AS ws FROM documents),
+    tk AS (
+        SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM w),
+    occ AS (
+        SELECT doc_id, n, i,
+               array_to_string(ws[i:i+n-1], ' ') AS gram,
+               CASE WHEN i = 1 THEN 0
+                    ELSE len(array_to_string(ws[1:i-1], ' ')) + 1
+               END AS gstart,
+               len(array_to_string(ws[1:i+n-1], ' ')) AS gend
+        FROM tk, (SELECT unnest([{", ".join(map(str, _DUP_NGRAM_NS))}]) AS n) ns
+        WHERE i + n - 1 <= len(ws)),
+    dups AS (
+        SELECT doc_id, n, gstart, gend FROM (
+            SELECT doc_id, n, gstart, gend,
+                   count(*) OVER (PARTITION BY doc_id, n, gram) AS c
+            FROM occ)
+        WHERE c >= 2),
+    cov AS (
+        SELECT doc_id, n, gstart, gend,
+               max(gend) OVER (PARTITION BY doc_id, n ORDER BY gstart
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM dups),
+    dc AS (
+        SELECT doc_id, n,
+               sum(greatest(0, gend - greatest(gstart,
+                   coalesce(pmax, gstart)))) AS dup_chars
+        FROM cov GROUP BY 1, 2),
+    base AS (
+        SELECT w.doc_id, ns.n,
+               len(array_to_string(ws, ' ')) AS total_chars
+        FROM w, (SELECT unnest([{", ".join(map(str, _DUP_NGRAM_NS))}]) AS n) ns)
+    SELECT b.doc_id,
+           CAST(b.n AS INTEGER) AS n,
+           CAST(coalesce(d.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(b.total_chars AS BIGINT) AS total_chars,
+           CASE WHEN b.total_chars = 0 THEN 0.0
+                ELSE round(coalesce(d.dup_chars, 0)
+                           / CAST(b.total_chars AS DOUBLE), 6)
+           END AS dup_char_frac,
+           (CASE WHEN b.total_chars = 0 THEN 0.0
+                 ELSE round(coalesce(d.dup_chars, 0)
+                            / CAST(b.total_chars AS DOUBLE), 6)
+            END) > (CASE b.n {" ".join(f"WHEN {n} THEN {t}" for n, t in _DUP_NGRAM_THR.items())} END)
+               AS flagged
+    FROM base b LEFT JOIN dc d ON b.doc_id = d.doc_id AND b.n = d.n
+    """,
+    tags=("quality", "repetition", "gopher", "extension"),
+)
+def gopher_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-n-gram character fraction (Rae et al., arXiv
+    2112.11446 Table A1, second half of the repetition rule family —
+    the first half is ``gopher_top_ngram_fraction``): per document and
+    n, the fraction of characters covered by n-grams that occur MORE
+    THAN ONCE within the document, overlaps counted once via an exact
+    interval union over the space-joined token stream.
+
+    The operator (``operators/spans.py::dup_ngram_char_fraction``)
+    defaults to the published n = 5..10 / thresholds 0.15..0.10; this
+    fixture-scale query runs n = 2..5 (see ``_DUP_NGRAM_THR``) so the
+    union sweep and flag logic are exercised on non-zero data.
+
+    Scale shape: tokenize once, lead()-derived gram identities and
+    char spans for every n, duplicate marking and the union sweep both
+    doc-local — the whole plan rides ONE exchange on doc_id.
+
+    Reference parity: no text analytics in the reference
+    (/root/reference/src/transform_load.py) — extension surface.
+    """
+    from ..operators.spans import dup_ngram_char_fraction
+
+    docs = load(spark, "documents", sf_dir)
+    return dup_ngram_char_fraction(
+        docs, ns=_DUP_NGRAM_NS, thresholds=_DUP_NGRAM_THR
+    )
