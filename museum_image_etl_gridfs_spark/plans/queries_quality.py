@@ -2344,3 +2344,144 @@ def gopher_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_char_fraction(
         docs, ns=_DUP_NGRAM_NS, thresholds=_DUP_NGRAM_THR
     )
+
+
+#: bucket count for the per-source distribution audit (same hashed-
+#: vocabulary rationale as DSIR: the table stays O(B) at any corpus)
+_KL_B = 4096
+
+
+@query(
+    "source_unigram_kl",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, {_SQL_WORDS_LOWER} AS w FROM documents),
+    tok AS (
+        SELECT source, {_sql_hash_bucket('g', _KL_B)} AS b
+        FROM w, UNNEST(w.w) AS t(g)),
+    cnt AS (
+        SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+    gb AS (
+        SELECT b, CAST(sum(c) AS BIGINT) AS g FROM cnt GROUP BY 1),
+    ns AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cnt GROUP BY 1),
+    tot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gb),
+    dense AS (
+        SELECT s.source, s.n_s, r.b,
+               coalesce(c.c, 0) AS c,
+               coalesce(g.g, 0) AS g,
+               t.n
+        FROM ns s
+        CROSS JOIN (SELECT unnest(range(0, {_KL_B})) AS b) r
+        CROSS JOIN tot t
+        LEFT JOIN cnt c ON c.source = s.source AND c.b = r.b
+        LEFT JOIN gb g ON g.b = r.b),
+    terms AS (
+        SELECT source, n_s,
+               CAST(c + 1 AS DECIMAL(18, 0))
+                 * CAST(ln(((c + 1.0) * (n + {_KL_B}.0))
+                           / ((n_s + {_KL_B}.0) * (g + 1.0)))
+                        AS DECIMAL(18, 12)) AS kl_num,
+               abs(CAST(c + 1 AS DECIMAL(19, 0)) * (n + {_KL_B})
+                   - CAST(g + 1 AS DECIMAL(19, 0)) * (n_s + {_KL_B}))
+                   AS tv_num,
+               (n_s + {_KL_B}.0) * (n + {_KL_B}.0) AS denom
+        FROM dense)
+    SELECT source,
+           max(n_s) AS n_tokens,
+           round(CAST(sum(kl_num) AS DOUBLE) / max(n_s + {_KL_B}.0), 6)
+               AS kl_nats,
+           round(CAST(sum(tv_num) AS DOUBLE) / (2.0 * max(denom)), 6)
+               AS tv_dist
+    FROM terms GROUP BY source
+    """,
+    tags=("quality", "distribution", "drift", "extension"),
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution divergence from the corpus:
+    add-one-smoothed KL(p_source ‖ p_corpus) in nats and exact total
+    variation distance, over a hashed {_KL_B}-bucket vocabulary — the
+    standard domain-drift diagnostic feeding mixture decisions
+    (complements ``dsir_importance_weights``' per-doc weights and
+    ``doremi_domain_weights``' reweighting step; hashing rationale as
+    in Xie et al. NeurIPS'23: the distribution tables stay O(B) at
+    any corpus size).
+
+    Exactness: KL terms are ``(c+1) × DECIMAL-cast ln(ratio)`` summed
+    as DECIMAL (order-independent; the ratio is the same IEEE op
+    sequence in both engines — the dsir/doremi ln-parity precedent),
+    one final double division per source. TV is fully exact integer
+    arithmetic (|(c+1)(N+B) − (g+1)(N_s+B)| summed as DECIMAL) with
+    one division. ALL {_KL_B} buckets are enumerated per source
+    (smoothing gives zero-count buckets nonzero mass), so the bucket
+    set is engine-independent.
+
+    Scale shape (100 TB): one tokenize + map-side-combined
+    (source, bucket) count — the only corpus-sized stage; everything
+    after runs on O(sources × {_KL_B}) rows, broadcast-joined.
+
+    Extension beyond the reference (no curation surface there)."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(Q.words(F.lower(F.col("text")))).alias("g"),
+        )
+        .select("source", Q.hash_bucket(F.col("g"), _KL_B).alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gb = cnt.groupBy("b").agg(F.sum("c").alias("g"))
+    ns = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
+    tot = gb.groupBy().agg(F.sum("g").alias("n"))
+    buckets = spark.range(_KL_B).select(F.col("id").cast("int").alias("b"))
+    dense = (
+        ns.crossJoin(F.broadcast(buckets))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cnt), ["source", "b"], "left")
+        .join(F.broadcast(gb), "b", "left")
+        .select(
+            "source",
+            "n_s",
+            "n",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("g", F.lit(0)).alias("g"),
+        )
+    )
+    kl_num = (F.col("c") + 1).cast("decimal(18,0)") * F.log(
+        ((F.col("c") + F.lit(1.0)) * (F.col("n") + F.lit(float(_KL_B))))
+        / (
+            (F.col("n_s") + F.lit(float(_KL_B)))
+            * (F.col("g") + F.lit(1.0))
+        )
+    ).cast("decimal(18,12)")
+    tv_num = F.abs(
+        (F.col("c") + 1).cast("decimal(19,0)") * (F.col("n") + _KL_B)
+        - (F.col("g") + 1).cast("decimal(19,0)") * (F.col("n_s") + _KL_B)
+    )
+    denom = (F.col("n_s") + F.lit(float(_KL_B))) * (
+        F.col("n") + F.lit(float(_KL_B))
+    )
+    return (
+        dense.select(
+            "source",
+            "n_s",
+            kl_num.alias("kl_num"),
+            tv_num.alias("tv_num"),
+            denom.alias("denom"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("kl_num").cast("double")
+                / F.max(F.col("n_s") + F.lit(float(_KL_B))),
+                6,
+            ).alias("kl_nats"),
+            F.round(
+                F.sum("tv_num").cast("double") / (F.lit(2.0) * F.max("denom")),
+                6,
+            ).alias("tv_dist"),
+        )
+    )

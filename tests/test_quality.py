@@ -479,3 +479,56 @@ def test_source_overlap_matrix_invariants(spark, sf_dir):
             if n:
                 expect_pairs[(a, b)] = n
     assert got == expect_pairs
+
+
+def test_source_unigram_kl_matches_python_reference(spark, sf_dir):
+    """source_unigram_kl: recompute smoothed KL and exact TV in plain
+    python (hashlib md5 fold, math.log) and compare at 6 dp."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from museum_image_etl_gridfs_spark.catalog import load
+    from museum_image_etl_gridfs_spark.plans.queries_quality import (
+        _KL_B,
+        source_unigram_kl,
+    )
+
+    got = {
+        r["source"]: (r["n_tokens"], r["kl_nats"], r["tv_dist"])
+        for r in source_unigram_kl(spark, sf_dir).collect()
+    }
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _KL_B
+
+    rows = load(spark, "documents", sf_dir).select("source", "text").collect()
+    per_src: dict = {}
+    glob: Counter = Counter()
+    for r in rows:
+        ws = (r["text"] or "").strip().lower().split()
+        c = per_src.setdefault(r["source"], Counter())
+        for t in ws:
+            b = bucket(t)
+            c[b] += 1
+            glob[b] += 1
+    n = sum(glob.values())
+    for src, c in per_src.items():
+        n_s = sum(c.values())
+        kl = 0.0
+        tv_num = 0
+        for b in range(_KL_B):
+            cb, gb = c.get(b, 0), glob.get(b, 0)
+            # mirror the engine arithmetic: DECIMAL(18,12)-rounded ln
+            # times integer (c+1), one final division
+            lnr = ((cb + 1.0) * (n + float(_KL_B))) / (
+                (n_s + float(_KL_B)) * (gb + 1.0)
+            )
+            kl += (cb + 1) * round(math.log(lnr), 12)
+            tv_num += abs((cb + 1) * (n + _KL_B) - (gb + 1) * (n_s + _KL_B))
+        kl /= n_s + float(_KL_B)
+        tv = tv_num / (2.0 * (n_s + float(_KL_B)) * (n + float(_KL_B)))
+        want = (n_s, round(kl, 6), round(tv, 6))
+        assert got[src][0] == want[0], src
+        assert abs(got[src][1] - want[1]) <= 2e-6, (src, got[src], want)
+        assert abs(got[src][2] - want[2]) <= 2e-6, (src, got[src], want)
