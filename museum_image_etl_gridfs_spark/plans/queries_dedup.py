@@ -341,3 +341,95 @@ def substring_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, "documents", sf_dir)
     return substring_dedup_rewrite(docs, k=_SPAN_K)
+
+
+@query(
+    "ngram_novelty_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS ts
+        FROM documents
+    ),
+    occ AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(ts[i:i + {_SPAN_K - 1}], ' ') AS g
+        FROM toks, UNNEST(range(1, len(ts) - {_SPAN_K} + 2)) AS r(i)
+        WHERE len(ts) >= {_SPAN_K}
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM occ GROUP BY g),
+    stats AS (
+        SELECT o.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN o.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel_grams
+        FROM occ o JOIN firsts f USING (g) GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(s.novel_grams, 0) AS novel_grams,
+           CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0.0
+                ELSE round(s.novel_grams / CAST(s.n_grams AS DOUBLE), 6)
+           END AS novelty_frac
+    FROM toks t LEFT JOIN stats s USING (doc_id)
+    """,
+    tags=("dedup", "novelty", "audit", "extension"),
+)
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT 5-grams whose corpus-wide first occurrence (min doc_id —
+    ingestion order on this fixture) is this document. The standard
+    snapshot-novelty audit a crawl-ingestion pipeline reports ("how
+    much of this batch is new text?") and the decision input for
+    dedup-decay policies; 1 − novelty is the document's duplication
+    exposure at gram granularity.
+
+    Scale shape: the codegen hash-gram inventory (no gram strings),
+    per-(doc, gram-hash) dedup rides the doc-clustered exchange, one
+    map-side-combined min(doc_id) per gram, one shuffle join back
+    (AQE splits hot grams), one per-doc count aggregate. Gram
+    identity is the 64-bit hash — the duplicated_spans trade.
+
+    Reference parity: no text analytics in the reference — LLM
+    curation extension surface."""
+    from ..operators.spans import gram_hash_occurrences
+
+    docs = load(spark, "documents", sf_dir)
+    occ = (
+        gram_hash_occurrences(docs, k=_SPAN_K)
+        .groupBy("doc_id", "__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("doc_id", "__gh")
+    )
+    firsts = occ.groupBy("__gh").agg(F.min("doc_id").alias("first_doc"))
+    stats = (
+        occ.join(firsts, "__gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel_grams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("novel_grams", F.lit(0))
+            .cast("bigint")
+            .alias("novel_grams"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("novel_grams").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                )
+            )
+            .alias("novelty_frac"),
+        )
+    )

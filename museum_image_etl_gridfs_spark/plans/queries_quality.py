@@ -2485,3 +2485,175 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_dist"),
         )
     )
+
+
+@query(
+    "filter_agreement_kappa",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {{words}} AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_concat(w,
+                   CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i+1]) END)
+                   AS g,
+               len(w) AS n,
+               CASE WHEN len(w) = 0 THEN 0.0
+                    ELSE len(list_intersect(w, {{stops}}))
+                         / CAST(len(w) AS DOUBLE) END AS stop_frac
+        FROM w),
+    s AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(g,
+                       t -> ({{bucket}} * {{mix}})
+                            % {{b}} - {{b}} // 2)),
+                   (a, b) -> a + b) AS num,
+               (n >= 10 AND stop_frac >= 0.01) AS rule_pass
+        FROM g),
+    verdicts AS (
+        SELECT rule_pass, (num >= 0) AS clf_pass FROM s),
+    cells AS (
+        SELECT
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN rule_pass AND clf_pass THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+          CAST(sum(CASE WHEN NOT rule_pass AND clf_pass THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+          CAST(sum(CASE WHEN rule_pass AND NOT clf_pass THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+          CAST(sum(CASE WHEN NOT rule_pass AND NOT clf_pass THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+        FROM verdicts),
+    -- products go through DECIMAL: BIGINT a*b overflows at ~1e10 docs
+    wide AS (
+        SELECT n, a, b, c, d,
+               CAST(a + b AS DECIMAL(19,0)) * CAST(a + c AS DECIMAL(19,0))
+               + CAST(c + d AS DECIMAL(19,0)) * CAST(b + d AS DECIMAL(19,0))
+                   AS pe_num,
+               CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) AS n2
+        FROM cells)
+    SELECT n AS n_docs, a AS both_pass, b AS clf_only, c AS rule_only,
+           d AS both_fail,
+           round((a + d) / CAST(n AS DOUBLE), 6) AS observed_agreement,
+           round(CAST(pe_num AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+               AS chance_agreement,
+           CASE WHEN n2 = pe_num THEN 0.0
+                ELSE round(CAST(CAST(a + d AS DECIMAL(19,0))
+                                * CAST(n AS DECIMAL(19,0))
+                                - pe_num AS DOUBLE)
+                           / CAST(n2 - pe_num AS DOUBLE), 6)
+           END AS cohens_kappa
+    FROM wide
+    """.format(
+        words=_SQL_WORDS_LOWER,
+        stops=_STOPS_SQL,
+        bucket=_sql_hash_bucket("t", _FT_B),
+        mix=_FT_MIX,
+        b=_FT_B,
+    ),
+    tags=("quality", "classifier", "evaluation", "extension"),
+)
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two document filters — the rule-based
+    verdict and the fastText-style linear classifier's sign (both as
+    in ``classifier_calibration``) — the standard inter-rater
+    agreement statistic a filter-deployment eval reports next to the
+    calibration curve (chance-corrected: two filters that both pass
+    90% of docs agree 82% by luck alone).
+
+    Exactness: the 2x2 contingency table is BIGINT counts; observed /
+    chance agreement and kappa are two or three IEEE divisions over
+    exact integers, rounded 6 dp — bit-identical across engines. The
+    degenerate pe = 1 case (both filters constant) returns 0.0 by
+    convention.
+
+    Scale shape: the classifier's map-side-combined per-doc sum (one
+    feature explode), a narrow rule stage, then ONE global 5-counter
+    aggregate — O(1) output."""
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    w = Q.words(F.lower(F.col("text")))
+    g = F.concat(w, Q.word_ngrams(w, 2))
+    feats = docs.select("doc_id", F.explode_outer(g).alias("t"))
+    unit = F.when(F.col("t").isNull(), F.lit(0).cast("long")).otherwise(
+        (Q.hash_bucket(F.col("t"), _FT_B).cast("long") * F.lit(_FT_MIX))
+        % F.lit(_FT_B)
+        - F.lit(_FT_B // 2)
+    )
+    per_doc = (
+        feats.select("doc_id", unit.alias("u"))
+        .groupBy("doc_id")
+        .agg(F.sum("u").alias("num"))
+    )
+    rule = docs.select(
+        "doc_id",
+        (
+            (F.size(w) >= 10)
+            & (
+                F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
+                    Q.stopword_hits(w) / F.size(w).cast("double")
+                )
+                >= 0.01
+            )
+        ).alias("rule_pass"),
+    )
+    v = per_doc.join(rule, "doc_id").select(
+        "rule_pass", (F.col("num") >= 0).alias("clf_pass")
+    )
+    cells = v.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("rule_pass") & F.col("clf_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(
+            F.when(~F.col("rule_pass") & F.col("clf_pass"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when(F.col("rule_pass") & ~F.col("clf_pass"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(~F.col("rule_pass") & ~F.col("clf_pass"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    # products through DECIMAL: BIGINT a*b overflows at ~1e10 docs
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    pe_num = dec(F.col("a") + F.col("b")) * dec(F.col("a") + F.col("c")) + dec(
+        F.col("c") + F.col("d")
+    ) * dec(F.col("b") + F.col("d"))
+    n2 = dec(F.col("n")) * dec(F.col("n"))
+    wide = cells.select(
+        "n", "a", "b", "c", "d", pe_num.alias("pe_num"), n2.alias("n2")
+    )
+    return wide.select(
+        F.col("n").alias("n_docs"),
+        F.col("a").alias("both_pass"),
+        F.col("b").alias("clf_only"),
+        F.col("c").alias("rule_only"),
+        F.col("d").alias("both_fail"),
+        F.round(
+            (F.col("a") + F.col("d")) / F.col("n").cast("double"), 6
+        ).alias("observed_agreement"),
+        F.round(
+            F.col("pe_num").cast("double") / F.col("n2").cast("double"), 6
+        ).alias("chance_agreement"),
+        F.when(F.col("n2") == F.col("pe_num"), F.lit(0.0))
+        .otherwise(
+            F.round(
+                (
+                    dec(F.col("a") + F.col("d")) * dec(F.col("n"))
+                    - F.col("pe_num")
+                ).cast("double")
+                / (F.col("n2") - F.col("pe_num")).cast("double"),
+                6,
+            )
+        )
+        .alias("cohens_kappa"),
+    )
