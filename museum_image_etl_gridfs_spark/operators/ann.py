@@ -94,8 +94,9 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.5,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     round_to: int = 4,
+    target_block_rows: int = 4096,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via block-matrix products.
 
@@ -104,9 +105,18 @@ def cosine_pairs_blocked(
     normalized matrix), cross-joins the upper-triangular block pairs
     (n_blocks·(n_blocks+1)/2 rows), and lets numpy do each block-pair
     as a single matmul. No driver collect; memory per task =
-    2 · (n/n_blocks) · dim doubles — scale by raising ``n_blocks``
-    (cost grows O(n²) in total work regardless, as all-pairs must;
-    the win is a vectorized constant factor and bounded task memory).
+    2 · (n/n_blocks) · dim doubles for the operands PLUS the
+    (n/n_blocks)² sim matrix — the sim matrix is the term that grows
+    QUADRATICALLY with block size, so ``n_blocks`` must scale with
+    the corpus. By default it is DERIVED from a count so blocks stay
+    ≈ ``target_block_rows`` rows (sim ≈ 134 MB at the 4096 default):
+    a fixed block count that was fine at one SF turns into multi-GB
+    per-task matrices at 3× (measured 417 s at sf3 with the old
+    fixed 8; the count is one cheap column-pruned job at build time —
+    the same build-time-measurement precedent as the simjoin's
+    occurrence-derived partition count). Total work stays O(n²), as
+    all-pairs must; the win is a vectorized constant factor and
+    BOUNDED task memory.
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b. ``threshold``
     must be > 0: diagonal cells keep each unordered pair once by
@@ -118,6 +128,9 @@ def cosine_pairs_blocked(
     """
     if threshold <= 0:
         raise ValueError("cosine_pairs_blocked: threshold must be > 0")
+    if n_blocks is None:
+        n_rows = emb.select(id_col).count()
+        n_blocks = max(8, -(-n_rows // max(target_block_rows, 1)))
     blocked = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -50,7 +50,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     return cosine_pairs_blocked(
-        emb, threshold=_COS_THRESHOLD, n_blocks=8, round_to=4
+        emb, threshold=_COS_THRESHOLD, round_to=4
     )
 
 
