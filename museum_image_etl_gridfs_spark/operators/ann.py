@@ -24,6 +24,8 @@ cell filter plays that role in-plan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,6 +49,26 @@ def _np_id_dtype(spark_type: str) -> str:
         "double": "float64",
         "float": "float32",
     }.get(spark_type, "object")
+
+
+def _blocks_for(n_rows: int, target_rows: int, *, floor: int) -> int:
+    """Block count so blocks stay ≈ ``target_rows`` rows — the
+    derive-from-measured-input rule shared by the blocked pair
+    kernels (a count tuned at one SF is a memory cliff at the next:
+    the quadratic per-cell matrices scale with (rows/blocks)²)."""
+    return max(floor, -(-n_rows // max(target_rows, 1)))
+
+
+def _sub_blocks_for(
+    max_rows: int, n_keys: int, parallelism: int, target_rows: int
+) -> int:
+    """Sub-block count for :func:`jaccard_pairs_blocked`: the memory
+    ceiling (≈ ``target_rows`` rows per sub-block) joined with a
+    parallelism floor (≈ 4 cells per core across all blocking keys:
+    n_keys·subs²/2 ≥ 4·parallelism ⇒ subs ≥ √(8·para/n_keys))."""
+    mem = _blocks_for(max_rows, target_rows, floor=2)
+    par = math.ceil(math.sqrt(8 * max(parallelism, 1) / max(n_keys, 1)))
+    return max(mem, min(par, max(max_rows, 1)))
 
 
 def assign_cells(
@@ -130,7 +152,7 @@ def cosine_pairs_blocked(
         raise ValueError("cosine_pairs_blocked: threshold must be > 0")
     if n_blocks is None:
         n_rows = emb.select(id_col).count()
-        n_blocks = max(8, -(-n_rows // max(target_block_rows, 1)))
+        n_blocks = _blocks_for(n_rows, target_block_rows, floor=8)
     blocked = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -228,7 +250,8 @@ def jaccard_pairs_blocked(
     tokens_col: str,
     block_col: str | None = None,
     threshold: float = 0.5,
-    n_sub_blocks: int = 8,
+    n_sub_blocks: int | None = None,
+    target_sub_rows: int = 2048,
 ) -> DataFrame:
     """All-pairs exact token-set Jaccard ≥ threshold, block-matrix
     style (same shape as :func:`cosine_pairs_blocked`).
@@ -241,10 +264,45 @@ def jaccard_pairs_blocked(
     blocks are never considered, exactly like the blocked SQL join.
     ``threshold`` must be > 0 (diagonal cells zero their id_a ≥ id_b
     entries — see :func:`cosine_pairs_blocked`).
+
+    ``n_sub_blocks`` is DERIVED by default from ONE measured
+    aggregate (max blocking-group size + group count) under two
+    constraints — the same rule :func:`cosine_pairs_blocked` adopted
+    after its fixed block count turned into a 2.8 GB-per-task / 417 s
+    cliff at sf3:
+
+    - memory ceiling: sub-blocks stay ≈ ``target_sub_rows`` rows —
+      the inter/union/jac matrices grow QUADRATICALLY with sub-block
+      size (~20 B per pair entry across the three ⇒ ~84 MB bounded
+      at the 2048 default), so any count tuned at one SF is a memory
+      cliff at the next;
+    - parallelism floor: enough (block, sub-pair) cells to give every
+      core ~4, i.e. n_keys·subs²/2 ≳ 4·defaultParallelism — a
+      memory-only derivation picked subs=2 at sf1 (60 cells / 32
+      cores) and ran 35 s where subs=4 ran 4.5 s; packed-row
+      replication grows linearly with subs, so the floor targets
+      cells-per-core, not a fixed count.
+
+    The derivation is one cheap column-pruned aggregate at build
+    time; callers that must stay lazy (explain-only plan audits) pass
+    ``n_sub_blocks`` explicitly — that parameter IS the
+    precomputed-count path.
     """
     if threshold <= 0:
         raise ValueError("jaccard_pairs_blocked: threshold must be > 0")
     blk = F.col(block_col) if block_col else F.lit(0)
+    if n_sub_blocks is None:
+        mx, nk = (
+            docs.select(blk.alias("__blk"))
+            .groupBy("__blk")
+            .count()
+            .agg(F.max("count"), F.count(F.lit(1)))
+            .first()
+        )
+        para = docs.sparkSession.sparkContext.defaultParallelism
+        n_sub_blocks = _sub_blocks_for(
+            mx or 0, nk or 1, para, target_sub_rows
+        )
     packed = (
         docs.select(
             F.col(id_col).alias("id"),

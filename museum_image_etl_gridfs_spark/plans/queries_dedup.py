@@ -87,7 +87,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_col="ts",
         block_col="source",
         threshold=0.5,
-        n_sub_blocks=8,
     )
 
 

@@ -664,7 +664,6 @@ def near_dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_col="ts",
         block_col="source",
         threshold=0.5,
-        n_sub_blocks=8,
     )
     # an exact-duplicate group is a clique even with no other
     # neighbor: a self-edge keeps its representative in the graph

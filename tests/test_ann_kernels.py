@@ -95,6 +95,70 @@ def test_empty_sentinel_dtype_follows_id_type():
     assert frames[-1]["id_a"].dtype == object
 
 
+def test_block_count_scales_with_input():
+    """VERDICT r11 #1: BOTH blocked pair kernels must derive their
+    block count from measured input size — a fixed count tuned at one
+    SF is a quadratic memory cliff at the next (cosine's fixed 8 cost
+    2.8 GB/task and 417 s at sf3 before the adaptive rule)."""
+    from museum_image_etl_gridfs_spark.operators.ann import _blocks_for
+
+    assert _blocks_for(0, 2048, floor=2) == 2
+    assert _blocks_for(2500, 2048, floor=2) == 2
+    assert _blocks_for(7500, 2048, floor=2) == 4
+    # 100x: blocks grow linearly, sub-block size stays bounded
+    n = 250_000
+    b = _blocks_for(n, 2048, floor=2)
+    assert b == -(-n // 2048) and n / b <= 2048
+    # cosine's derivation routes through the same helper
+    assert _blocks_for(50_000, 4096, floor=8) == 13
+    assert _blocks_for(150_000, 4096, floor=8) == 37
+
+    from museum_image_etl_gridfs_spark.operators.ann import _sub_blocks_for
+
+    # jaccard joins the memory ceiling with a parallelism floor
+    # (4 cells/core): memory-only picked subs=2 at sf1 — 60 cells /
+    # 32 cores, 35 s where subs=4 ran 4.5 s
+    assert _sub_blocks_for(2500, 20, 32, 2048) == 4
+    # sf3: both terms agree
+    assert _sub_blocks_for(7500, 20, 32, 2048) == 4
+    # 100x: the memory ceiling dominates and rows/sub stays bounded
+    s = _sub_blocks_for(250_000, 20, 32, 2048)
+    assert s >= -(-250_000 // 2048) and 250_000 / s <= 2048
+    # tiny blocks never split past their own row count
+    assert _sub_blocks_for(3, 20, 32, 2048) <= 3
+    # many blocking keys already give parallelism: floor backs off
+    assert _sub_blocks_for(1000, 10_000, 32, 2048) == 2
+
+
+def test_jaccard_derived_blocks_match_explicit(spark, sf_dir):
+    """The adaptive default must be a pure performance knob: derived
+    and explicit block counts produce the identical pair set."""
+    from museum_image_etl_gridfs_spark.catalog import load
+    from museum_image_etl_gridfs_spark.operators.ann import (
+        jaccard_pairs_blocked,
+    )
+    from pyspark.sql import functions as F
+
+    toks = load(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.lower(F.coalesce("text", F.lit("")))), r"\s+").alias(
+            "ts"
+        ),
+    )
+    kw = dict(
+        id_col="doc_id", tokens_col="ts", block_col="source", threshold=0.5
+    )
+    derived = {
+        tuple(r) for r in jaccard_pairs_blocked(toks, **kw).collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in jaccard_pairs_blocked(toks, n_sub_blocks=5, **kw).collect()
+    }
+    assert derived == explicit and derived
+
+
 def test_cosine_pairs_matmul_stage_width(spark, sf_dir):
     """VERDICT r10 #1 pin: the CPU-bound numpy matmul stage must run
     defaultParallelism-wide, not inherit the block-count-wide hash
