@@ -118,6 +118,18 @@ _NEVER_GREEN_FIRST = (
     "corpus_power_laws",
 )
 
+#: no-oracle queries to grant the trickle slot FIRST among equal
+#: last-checked rounds (VERDICT r11 item 5 names near_dup_clusters /
+#: lsh_bucketed_ann / incremental_minhash_near_dups as the next
+#: rotation candidates; all of the r4 cohort are equally stale —
+#: CORRECTNESS_r04 has spark_rows for every one — so this only
+#: reorders ties, never jumps a fresher query past a staler one).
+_NO_ORACLE_FIRST = (
+    "near_dup_clusters",
+    "lsh_bucketed_ann",
+    "incremental_minhash_near_dups",
+)
+
 #: staleness promise: every oracle-checkable query re-verified by the
 #: driver within this many rounds of its last green row.
 PROMISE_AGE = 4
@@ -159,7 +171,13 @@ def _ordered(queries: list[Query]) -> list[Query]:
     rest = [q for q in queries if q.name not in _SENTINELS]
     oracle = [q for q in rest if q.oracle is not None]
     no_oracle = sorted(
-        (q for q in rest if q.oracle is None), key=_last
+        (q for q in rest if q.oracle is None),
+        key=lambda q: (
+            _last(q),
+            _NO_ORACLE_FIRST.index(q.name)
+            if q.name in _NO_ORACLE_FIRST
+            else len(_NO_ORACLE_FIRST),
+        ),
     )
     never = sorted(
         (q for q in oracle if _last(q) == 0),
