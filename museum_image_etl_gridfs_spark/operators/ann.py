@@ -136,7 +136,10 @@ def cosine_pairs_blocked(
     per-task matrices at 3× (measured 417 s at sf3 with the old
     fixed 8; the count is one cheap column-pruned job at build time —
     the same build-time-measurement precedent as the simjoin's
-    occurrence-derived partition count). Total work stays O(n²), as
+    occurrence-derived partition count). Callers that must stay LAZY
+    at plan-construction time (explain-only plan audits) pass
+    ``n_blocks`` explicitly — that parameter IS the
+    precomputed-count path and skips the build-time job. Total work stays O(n²), as
     all-pairs must; the win is a vectorized constant factor and
     BOUNDED task memory.
 
@@ -423,6 +426,14 @@ def ivf_topk(
     each query, score only within them. Returns (qid, neighbor_id,
     score) — same shape as the brute-force baseline so recall is
     directly measurable (tests/test_ann.py).
+
+    INPUT CONTRACT: ``queries`` must have UNIQUE ``qid_col`` rows
+    (like the threshold>0 contract on the blocked kernels). The
+    no-dedup candidate path below relies on it: duplicate qid rows
+    would make the probe window emit the same cell more than once per
+    qid, and the duplicated (qid, neighbor) candidates could occupy
+    multiple top-k slots. Duplicate qids with DIFFERENT vectors are
+    ambiguous anyway — no dedup here could pick the right one.
     """
     centroids, assigned = assign_cells(
         emb, id_col=id_col, vec_col=vec_col, k_cells=k_cells

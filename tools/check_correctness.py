@@ -38,6 +38,40 @@ def _steal_cs() -> int:
         return 0
 
 
+def _tree_cpu_s() -> float:
+    """Total CPU seconds (utime+stime) of this process and EVERY live
+    descendant — the JVM and its Python workers are all children in
+    local mode. Contention inflates WALL, not CPU, so the per-row CPU
+    delta is the contention-immune signal the steal/loadavg ledger
+    cannot provide (VERDICT r11 item 2: six rows regressed 2-10x on
+    steal-quiet ledgers the gate was blind to). Best-effort: a pid
+    that exits mid-walk is skipped (its CPU was charged to the parent
+    via waited-children times only after reap — acceptable drift for
+    an adjudication signal, not a benchmark number)."""
+    hz = os.sysconf("SC_CLK_TCK")
+    ppid_of, cpu_of = {}, {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+        except OSError:
+            continue
+        # fields after comm: state ppid ... utime(11) stime(12)
+        ppid_of[int(pid)] = int(parts[1])
+        cpu_of[int(pid)] = (int(parts[11]) + int(parts[12])) / hz
+    kids: dict[int, list[int]] = {}
+    for pid, ppid in ppid_of.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0.0, [os.getpid()]
+    while stack:
+        pid = stack.pop()
+        total += cpu_of.get(pid, 0.0)
+        stack.extend(kids.get(pid, ()))
+    return total
+
+
 class _NoiseClock:
     """Per-row co-tenant noise ledger (same fields as bench.py's):
     steal centiseconds accrued over the row's wall window + loadavg at
@@ -48,6 +82,7 @@ class _NoiseClock:
     def start(self) -> None:
         self._steal0, self._wall0 = _steal_cs(), time.time()
         self._load0 = os.getloadavg()[0]
+        self._cpu0 = _tree_cpu_s()
 
     def block(self) -> dict:
         wall = time.time() - self._wall0
@@ -60,6 +95,10 @@ class _NoiseClock:
             # 326 s contended row closed at loadavg 2.7)
             "loadavg1_start": round(self._load0, 2),
             "loadavg1": round(os.getloadavg()[0], 2),
+            # process-tree CPU burned by the row (driver + JVM +
+            # Python workers): contention-immune — compare across
+            # rounds where wall_s cannot be trusted
+            "task_cpu_s": round(_tree_cpu_s() - self._cpu0, 1),
         }
 
 

@@ -1,0 +1,211 @@
+"""History-relative fresh-solo adjudication of sweep rows.
+
+VERDICT r11 item 2: six ≥5 s sf1 rows regressed 2-10x on code
+untouched since r10 while their own steal ledgers read quiet — the
+steal-only acceptance gate is structurally blind to same-box load
+(loadavg 9-21 at the dirty readings). This tool closes the blind
+spot by making acceptance HISTORY-RELATIVE:
+
+- Every query's BEST CLEAN historical reading is mined from all
+  committed sweep artifacts (rows whose own ledger shows
+  < 2 %/cpu steal). That floor, not the current row's ledger, is the
+  reference.
+- Any targeted row slower than ``--ratio`` (default 1.5) x its best
+  clean history is fresh-solo re-run behind the FULL gate: preflight
+  waits for steal < 1 %/cpu AND 1-min loadavg < cores/4 before each
+  attempt (the bench.py wait-for-clean pattern), up to ``--attempts``
+  attempts.
+- Each re-run row also records ``task_cpu_s`` (process-tree CPU,
+  check_correctness._NoiseClock) — the contention-immune signal:
+  contention inflates wall, not CPU, so a row whose wall doubled but
+  whose CPU matched history was load, not code.
+
+Acceptance per query = the minimum spark_sec attempt that is either
+within ratio x best-clean-history, or (if none reaches it) the best
+of the gated attempts, flagged ``"verdict": "slow_vs_history"`` for
+manual adjudication.
+
+Usage:
+    python tools/solo_adjudicate.py --sf-dir /tmp/sf1 \
+        [--history 'SWEEP_sf1_r*.json'] [--out OUT.json] name...
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_CPUS = os.cpu_count() or 32
+
+
+def _steal_cs() -> int:
+    try:
+        return int(open("/proc/stat").readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _steal_share(noise: dict | None) -> float:
+    """Steal as %/cpu over the row's wall window."""
+    if not noise:
+        return 99.0
+    return noise.get("steal_cs", 0) / max(noise.get("wall_s", 1) * N_CPUS, 1)
+
+
+def best_clean_history(pattern: str) -> dict[str, float]:
+    """query -> min spark_sec across committed sweeps, clean rows only
+    (< 2 %/cpu steal on the row's own ledger). Rows replaced mid-round
+    (``replaced_in_roundN``) contribute only their replacement."""
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, pattern))):
+        try:
+            data = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        rows = data.get("results", data)
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            sec = row.get("spark_sec")
+            if sec is None or "OK" not in str(row.get("status", "")):
+                continue
+            if _steal_share(row.get("noise")) >= 2.0:
+                continue
+            if name not in best or sec < best[name]:
+                best[name] = sec
+    return best
+
+
+def _wait_clean(budget_s: float, wait_s: float = 20.0) -> dict:
+    """Block until a clean window (steal < 1 %/cpu over a 5 s probe
+    AND loadavg < cores/4) or the budget runs out; returns the last
+    probe so the caller can ledger it."""
+    t0 = time.monotonic()
+    while True:
+        s0 = _steal_cs()
+        time.sleep(5.0)
+        share = (_steal_cs() - s0) / (5.0 * N_CPUS)
+        load = os.getloadavg()[0]
+        probe = {"steal_pct_cpu": round(share, 2), "loadavg1": round(load, 2)}
+        if share < 1.0 and load < N_CPUS / 4:
+            probe["clean"] = True
+            return probe
+        if time.monotonic() - t0 > budget_s:
+            probe["clean"] = False
+            return probe
+        time.sleep(wait_s)
+
+
+def _run_one(name: str, sf_dir: str, spark_only: bool) -> dict | None:
+    out = f"/tmp/solo_adj_{name}.json"
+    cmd = [
+        sys.executable,
+        os.path.join(ROOT, "tools", "check_correctness.py"),
+        "--sf-dir",
+        sf_dir,
+        "--out",
+        out,
+        name,
+    ]
+    if spark_only:
+        cmd[5:5] = ["--spark-only", name]
+    subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
+    try:
+        return json.load(open(out))["results"][name]
+    except (OSError, KeyError, json.JSONDecodeError):
+        return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--sf-dir", default="/tmp/sf1")
+    ap.add_argument("--history", default="SWEEP_sf1_r*.json")
+    ap.add_argument("--ratio", type=float, default=1.5)
+    ap.add_argument("--attempts", type=int, default=4)
+    ap.add_argument("--preflight-budget", type=float, default=420.0)
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--spark-only",
+        action="store_true",
+        help="skip the DuckDB oracle (big-SF adjudication runs)",
+    )
+    args = ap.parse_args()
+
+    history = best_clean_history(args.history)
+    results: dict[str, dict] = {}
+    for name in args.names:
+        floor = history.get(name)
+        target = floor * args.ratio if floor is not None else None
+        attempts: list[dict] = []
+        best_row: dict | None = None
+        for i in range(args.attempts):
+            probe = _wait_clean(args.preflight_budget)
+            row = _run_one(name, args.sf_dir, args.spark_only)
+            if row is None or row.get("spark_sec") is None:
+                attempts.append({"attempt": i, "probe": probe, "row": row})
+                continue
+            share = _steal_share(row.get("noise"))
+            entry = {
+                "attempt": i,
+                "probe": probe,
+                "spark_sec": row["spark_sec"],
+                "steal_pct_cpu": round(share, 2),
+                "task_cpu_s": (row.get("noise") or {}).get("task_cpu_s"),
+            }
+            attempts.append(entry)
+            if best_row is None or row["spark_sec"] < best_row["spark_sec"]:
+                best_row = row
+            ok_hist = target is None or row["spark_sec"] <= target
+            if ok_hist and share < 2.0 and probe.get("clean"):
+                break
+        sec = best_row["spark_sec"] if best_row else None
+        verdict = (
+            "no_reading"
+            if sec is None
+            else "ok"
+            if target is None or sec <= target
+            else "slow_vs_history"
+        )
+        results[name] = {
+            "best_clean_history": floor,
+            "accepted_spark_sec": sec,
+            "verdict": verdict,
+            "row": best_row,
+            "attempts": attempts,
+        }
+        print(
+            f"[adjudicate] {name}: {verdict} sec={sec} "
+            f"history={floor} attempts={len(attempts)}",
+            flush=True,
+        )
+
+    payload = {
+        "sf_dir": args.sf_dir,
+        "ratio": args.ratio,
+        "results": results,
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+    print(
+        json.dumps(
+            {
+                n: r["verdict"]
+                for n, r in results.items()
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    main()
