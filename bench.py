@@ -33,6 +33,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from museum_image_etl_gridfs_spark.hostmetrics import tree_cpu_s
 from museum_image_etl_gridfs_spark.operators.lifecycle import release_checkpoints
 from museum_image_etl_gridfs_spark.plans import all_queries
 from museum_image_etl_gridfs_spark.session import get_spark
@@ -174,9 +175,11 @@ def main() -> None:
             )
             break
         preflight["retried"] = True
+        remaining = budget_s - (time.monotonic() - gate_t0)
         print(
             f"[bench] pre-flight: contended window (loadavg {load:.1f}, "
-            f"steal {steal_pct:.1f}%) — sleeping {wait_s}s and re-probing",
+            f"steal {steal_pct:.1f}%) — sleeping {wait_s}s and re-probing "
+            f"({remaining:.0f}s of budget left)",
             file=sys.stderr,
         )
         time.sleep(wait_s)
@@ -187,29 +190,88 @@ def main() -> None:
     steal0, wall0 = _steal_cs(), time.perf_counter()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    #: noise ledger OF THE MIN REP per query — the committed headline
+    #: is a composition of per-query minimums (VERDICT r11 item 4), so
+    #: each component must carry its own mid-window steal reading: a
+    #: clean PREflight cannot vouch for a burst that arrives during
+    #: the 2-minute timed window (4 of 4 r11 runs caught one).
+    query_noise: dict[str, dict] = {}
     errors: dict[str, str] = {}
+
+    def _timed_rep(name: str) -> None:
+        """One materialized rep; keeps the min and its ledger."""
+        try:
+            # clock starts BEFORE build: construction-time jobs
+            # (eager vocab rank / checkpoint in the simjoin) are
+            # engine work and belong in the query's number — see
+            # module docstring for the r8 semantics change
+            s0, c0 = _steal_cs(), tree_cpu_s()
+            t0 = time.perf_counter()
+            df = qs[name].build(spark, sf_dir)
+            _materialize(df)
+            dt = time.perf_counter() - t0
+            d_steal = _steal_cs() - s0
+            if name not in timings or dt < timings[name]:
+                timings[name] = round(dt, 4)
+                query_noise[name] = {
+                    "steal_cs": d_steal,
+                    # %/cpu over this rep's window (repo convention:
+                    # steal_cs / (wall_s * n_cpus))
+                    "steal_pct_cpu": round(
+                        d_steal / max(dt * n_cpus, 1e-9), 2
+                    ),
+                    # same-VM load is invisible to steal — record
+                    # loadavg AND the row's own process-tree CPU
+                    # (contention inflates wall, not CPU), so a
+                    # clean-steal-but-slow reading is adjudicable
+                    "loadavg1": round(os.getloadavg()[0], 2),
+                    "task_cpu_s": round(tree_cpu_s() - c0, 1),
+                }
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = repr(exc)[:200]
+            timings.pop(name, None)
+            query_noise.pop(name, None)
+            print(f"[bench] {name} FAILED: {exc!r}", file=sys.stderr)
+        # free any localCheckpoint blocks the query pinned —
+        # outside the timed window, so storage cannot accumulate
+        # across the reps x queries loop (operators/lifecycle.py)
+        release_checkpoints(spark)
+
     for _ in range(reps):
         for name in HEADLINE + HEAVY:
             if name in errors:
                 continue
-            try:
-                # clock starts BEFORE build: construction-time jobs
-                # (eager vocab rank / checkpoint in the simjoin) are
-                # engine work and belong in the query's number — see
-                # module docstring for the r8 semantics change
-                t0 = time.perf_counter()
-                df = qs[name].build(spark, sf_dir)
-                _materialize(df)
-                dt = time.perf_counter() - t0
-                timings[name] = round(min(timings.get(name, dt), dt), 4)
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = repr(exc)[:200]
-                timings.pop(name, None)
-                print(f"[bench] {name} FAILED: {exc!r}", file=sys.stderr)
-            # free any localCheckpoint blocks the query pinned —
-            # outside the timed window, so storage cannot accumulate
-            # across the reps x queries loop (operators/lifecycle.py)
-            release_checkpoints(spark)
+            _timed_rep(name)
+
+    # targeted clean-retry pass (VERDICT r11 item 4): any query whose
+    # BEST rep still carries a dirty mid-window ledger (≥1 %/cpu
+    # steal) gets extra attempts, each behind a short clean-window
+    # probe, until its min rep is clean or the retry budget runs out.
+    # Bursts are minutes long but sparse — spreading the retries past
+    # the main window is what the interleaved reps cannot do.
+    retry_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "300")
+    )
+    retry_t0 = time.monotonic()
+    dirty = [
+        n
+        for n in HEADLINE + HEAVY
+        if n in timings and query_noise[n]["steal_pct_cpu"] >= 1.0
+    ]
+    while dirty and time.monotonic() - retry_t0 < retry_budget:
+        load, steal_pct = _probe_window()
+        if load >= n_cpus / 4 or steal_pct >= 1.0:
+            time.sleep(min(15, max(1.0, retry_budget / 20)))
+            continue
+        name = dirty.pop(0)
+        _timed_rep(name)
+        if name not in errors and query_noise[name]["steal_pct_cpu"] >= 1.0:
+            dirty.append(name)  # rotate: don't starve the others
+    if dirty:
+        print(
+            f"[bench] clean-retry budget exhausted; still dirty: {dirty}",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     wall = time.perf_counter() - wall0
@@ -230,6 +292,9 @@ def main() -> None:
             "wall_s": round(wall, 1),
             "loadavg1": round(os.getloadavg()[0], 2),
             "preflight": preflight,
+            # per-query ledger of the MIN rep — the reading the
+            # headline is composed of, adjudicable component-wise
+            "per_query": query_noise,
         },
     }
     if errors:

@@ -2346,6 +2346,147 @@ def gopher_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixture-scale segment widths for the line/paragraph repetition
+#: rules: the synthetic docs are single-line token streams, so
+#: "lines" are 2-token chunks (181/500 sf0.01 docs carry a duplicate)
+#: and "paragraphs" 3-token chunks (near-zero dups — exercises the
+#: zero path, like dup-n-gram's n=5). Real corpora split on
+#: newline / blank-line instead; the stats are splitter-agnostic.
+_LINE_W, _PARA_W = 2, 3
+#: Gopher Table A1 thresholds (Rae et al. 2112.11446): duplicate
+#: line/paragraph fraction > 0.30, duplicate line/paragraph CHARACTER
+#: fraction > 0.20.
+_DUP_SEG_THR = {"line_frac": 0.30, "para_frac": 0.30,
+                "line_chars": 0.20, "para_chars": 0.20}
+
+
+def _seg_chunk_sql(width: int) -> str:
+    """DuckDB mirror of functions/quality.token_chunks at ``width``."""
+    return (
+        f"SELECT doc_id, {width} AS width, "
+        f"array_to_string(ws[i:i+{width - 1}], ' ') AS seg "
+        f"FROM w, unnest(range(1, len(ws)+1, {width})) AS t(i)"
+    )
+
+
+@query(
+    "gopher_dup_line_stats",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_WORDS_LOWER} AS ws FROM documents),
+    seg AS ({_seg_chunk_sql(_LINE_W)} UNION ALL {_seg_chunk_sql(_PARA_W)}),
+    per AS (
+        SELECT doc_id, width, seg, count(*) AS c, len(seg) AS l
+        FROM seg GROUP BY 1, 2, 3),
+    agg AS (
+        SELECT doc_id, width,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c - 1) AS BIGINT) AS dup,
+               CAST(sum(c * l) AS BIGINT) AS chars,
+               CAST(sum((c - 1) * l) AS BIGINT) AS dup_chars
+        FROM per GROUP BY 1, 2),
+    j AS (
+        SELECT d.doc_id,
+               coalesce(l.n, 0) AS n_lines,
+               CASE WHEN coalesce(l.n, 0) = 0 THEN 0.0
+                    ELSE round(l.dup / CAST(l.n AS DOUBLE), 6)
+               END AS dup_line_frac,
+               CASE WHEN coalesce(l.chars, 0) = 0 THEN 0.0
+                    ELSE round(l.dup_chars / CAST(l.chars AS DOUBLE), 6)
+               END AS dup_line_char_frac,
+               coalesce(p.n, 0) AS n_paras,
+               CASE WHEN coalesce(p.n, 0) = 0 THEN 0.0
+                    ELSE round(p.dup / CAST(p.n AS DOUBLE), 6)
+               END AS dup_para_frac,
+               CASE WHEN coalesce(p.chars, 0) = 0 THEN 0.0
+                    ELSE round(p.dup_chars / CAST(p.chars AS DOUBLE), 6)
+               END AS dup_para_char_frac
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN (SELECT * FROM agg WHERE width = {_LINE_W}) l
+            USING (doc_id)
+        LEFT JOIN (SELECT * FROM agg WHERE width = {_PARA_W}) p
+            USING (doc_id))
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, dup_line_frac,
+           dup_line_char_frac, CAST(n_paras AS BIGINT) AS n_paras,
+           dup_para_frac, dup_para_char_frac,
+           (dup_line_frac > {_DUP_SEG_THR["line_frac"]}
+            OR dup_para_frac > {_DUP_SEG_THR["para_frac"]}
+            OR dup_line_char_frac > {_DUP_SEG_THR["line_chars"]}
+            OR dup_para_char_frac > {_DUP_SEG_THR["para_chars"]})
+               AS flagged
+    FROM j
+    """,
+    tags=("quality", "repetition", "gopher", "extension"),
+)
+def gopher_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate line/paragraph rules (Rae et al., arXiv
+    2112.11446 Table A1, FIRST half of the repetition family — the
+    n-gram half is ``gopher_dup_ngram_chars`` /
+    ``gopher_top_ngram_fraction``): per document, the fraction of
+    line (and paragraph) occurrences that duplicate an earlier
+    identical one, plus the character-weighted variants, flagged at
+    the published thresholds (frac > 0.30, char frac > 0.20).
+
+    Fixture note: the synthetic docs are single-line, so lines and
+    paragraphs are fixed-width token chunks (2 / 3 tokens —
+    ``_LINE_W`` / ``_PARA_W``); real corpora pass newline /
+    blank-line splits to the same stats.
+
+    Scale shape: ``functions/quality.dup_segment_stats`` computes
+    everything by sorted-adjacency INSIDE each row's segment array —
+    no explode, no shuffle of segment occurrences (the explode +
+    two-level groupBy equivalent shuffles every occurrence of a
+    100 TB corpus). The only exchange is the ``spread()`` round-robin
+    for CPU parallelism on few-file fixtures. The sorted chunk arrays
+    are materialized by their OWN projection stage and the kernel's
+    lambdas touch only bound variables — an earlier draft that
+    indexed the outer array inside the lambdas re-evaluated the
+    tokenize+chunk+sort tree per element: 40 s for 500 docs.
+
+    Reference parity: no text analytics in the reference
+    (/root/reference/src/transform_load.py) — extension surface.
+    """
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
+    ws = Q.words(F.lower(F.col("text")))
+    chunked = docs.select(
+        "doc_id",
+        F.array_sort(Q.token_chunks(ws, _LINE_W)).alias("ls"),
+        F.array_sort(Q.token_chunks(ws, _PARA_W)).alias("ps"),
+    )
+    line = Q.dup_segment_stats(F.col("ls"))
+    para = Q.dup_segment_stats(F.col("ps"))
+
+    def frac(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.round(num / den.cast("double"), 6)
+        )
+
+    out = chunked.select(
+        "doc_id",
+        line.alias("l"),
+        para.alias("p"),
+    ).select(
+        "doc_id",
+        F.col("l.n").alias("n_lines"),
+        frac(F.col("l.dup"), F.col("l.n")).alias("dup_line_frac"),
+        frac(F.col("l.dup_chars"), F.col("l.chars")).alias(
+            "dup_line_char_frac"
+        ),
+        F.col("p.n").alias("n_paras"),
+        frac(F.col("p.dup"), F.col("p.n")).alias("dup_para_frac"),
+        frac(F.col("p.dup_chars"), F.col("p.chars")).alias(
+            "dup_para_char_frac"
+        ),
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("dup_line_frac") > _DUP_SEG_THR["line_frac"])
+        | (F.col("dup_para_frac") > _DUP_SEG_THR["para_frac"])
+        | (F.col("dup_line_char_frac") > _DUP_SEG_THR["line_chars"])
+        | (F.col("dup_para_char_frac") > _DUP_SEG_THR["para_chars"]),
+    )
+
+
 #: bucket count for the per-source distribution audit (same hashed-
 #: vocabulary rationale as DSIR: the table stays O(B) at any corpus)
 _KL_B = 4096

@@ -135,6 +135,79 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sign-LSH bucket width (first B dims' sign bits) — 2^6 = 64 buckets
+_SIGN_B = 6
+
+
+@query(
+    "signlsh_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(range(1, {_SIGN_B + 1}),
+                   p -> CASE WHEN embedding[p] >= 0
+                             THEN (2 ** (p - 1)) ELSE 0 END))::BIGINT
+                   AS bucket
+        FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b
+          WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.qid, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qv, b.v), 4) AS score
+        FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.qid)
+    SELECT qid, neighbor_id, score
+    FROM (
+        SELECT qid, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "lsh", "extension"),
+)
+def signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k with an EXACT oracle: vectors bucket
+    by the sign pattern of their first ``_SIGN_B`` dimensions (a fixed
+    axis-aligned hyperplane family — deterministic and
+    SQL-expressible, unlike ``lsh_bucketed_ann``'s xxhash-derived
+    random planes), and each query scores only its own bucket.
+
+    Scale shape: the candidate join is BUCKET-LOCAL — corpus rows
+    join broadcast queries on the bucket key, so the scored stream is
+    ~n/2^B per query instead of n, and buckets shard across executors
+    at any corpus size. Final rank via the two-phase
+    :func:`~..operators.topk.grouped_topk` merge (no per-qid global
+    window). Same output shape as ``cosine_topk`` so recall against
+    the brute-force baseline is directly measurable.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    bucket = F.lit(0).cast("long")
+    for p in range(_SIGN_B):
+        bucket = bucket + F.when(
+            F.element_at("embedding", p + 1) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    b = spread(emb, "vec_id").select(
+        "vec_id", "embedding", bucket.alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("score"),
+    )
+    return grouped_topk(
+        scored, ["qid"], [("score", False), ("neighbor_id", True)], _TOP_K
+    ).select("qid", "neighbor_id", "score")
+
+
 @query("lsh_bucketed_ann", oracle=None, tags=("similarity", "lsh", "extension"))
 def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for ANN: random-hyperplane LSH bucketing.

@@ -532,3 +532,56 @@ def test_source_unigram_kl_matches_python_reference(spark, sf_dir):
         assert got[src][0] == want[0], src
         assert abs(got[src][1] - want[1]) <= 2e-6, (src, got[src], want)
         assert abs(got[src][2] - want[2]) <= 2e-6, (src, got[src], want)
+
+
+def test_token_chunks_fixed_width(spark):
+    df = spark.createDataFrame([("a b c d e",), ("x",), ("",)], ["text"])
+    out = df.select(
+        Q.token_chunks(Q.words("text"), 2).alias("c")
+    ).collect()
+    assert out[0]["c"] == ["a b", "c d", "e"]  # last chunk short
+    assert out[1]["c"] == ["x"]
+    assert out[2]["c"] == []
+
+
+def test_dup_segment_stats_hand_computed(spark):
+    # segments: [ab, cd, ab, ab, e] -> ab x3 => 2 duplicate
+    # occurrences; chars: 2+2+2+2+1 = 9, dup chars = 2+2 = 4
+    df = spark.createDataFrame([(["ab", "cd", "ab", "ab", "e"],)], ["s"])
+    r = df.select(
+        Q.dup_segment_stats(F.array_sort(F.col("s"))).alias("st")
+    ).first()["st"]
+    assert (r["n"], r["dup"], r["chars"], r["dup_chars"]) == (5, 2, 9, 4)
+    # no duplicates / empty array
+    df2 = spark.createDataFrame([(["a", "b"],), ([],)], ["s"])
+    rows = [
+        r["st"]
+        for r in df2.select(
+            Q.dup_segment_stats(F.array_sort(F.col("s"))).alias("st")
+        ).collect()
+    ]
+    assert (rows[0]["dup"], rows[0]["dup_chars"]) == (0, 0)
+    assert (rows[1]["n"], rows[1]["chars"]) == (0, 0)
+
+
+def test_gopher_dup_line_stats_shape_and_flag(spark, sf_dir):
+    qs = all_queries()
+    df = qs["gopher_dup_line_stats"].build(spark, sf_dir)
+    # doc-local statistic: the ONLY exchange is the spread()
+    # round-robin for CPU parallelism — never a hash/single-partition
+    # shuffle of segment occurrences
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "SinglePartition" not in plan
+    rows = df.collect()
+    assert rows, "documents fixture is non-empty"
+    for r in rows[:50]:
+        assert 0.0 <= r["dup_line_frac"] <= 1.0
+        assert 0.0 <= r["dup_para_char_frac"] <= 1.0
+        want = (
+            r["dup_line_frac"] > 0.30
+            or r["dup_para_frac"] > 0.30
+            or r["dup_line_char_frac"] > 0.20
+            or r["dup_para_char_frac"] > 0.20
+        )
+        assert r["flagged"] == want
