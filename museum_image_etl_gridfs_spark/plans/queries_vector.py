@@ -251,6 +251,34 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pq_adc_topk", oracle=None, tags=("similarity", "pq", "extension"))
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ADC top-k (Jégou et al., TPAMI 2011 — the
+    compressed-index ANN path): train m=4 / k=16 codebooks on the
+    corpus, encode every vector to 4 code bytes (64 floats → 4 bytes,
+    the compression that keeps a 100 TB index in cluster memory),
+    and answer the standard 3 queries by Asymmetric Distance
+    Computation — per-query m×k lookup tables, never a float-vector
+    distance against the corpus. Deterministic (seeded Lloyd's, no
+    RNG) so golden-pinnable; accuracy vs brute-force L2 is asserted
+    in tests/test_pq.py. Returns (qid, neighbor_id, approx_sq_dist).
+    """
+    from ..operators.pq import adc_topk, pq_encode, pq_fit
+
+    emb = load(spark, "embeddings", sf_dir)
+    codebooks = pq_fit(emb, m=4, k=16, n_iter=5)
+    codes = pq_encode(emb, codebooks)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return adc_topk(codes, codebooks, queries, top_k=_TOP_K).select(
+        "qid", "neighbor_id", "approx_sq_dist"
+    )
+
+
 @query("ivf_topk_ann", oracle=None, tags=("similarity", "ivf", "extension"))
 def ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: probe the 4 nearest of 16 Voronoi cells per

@@ -38,38 +38,9 @@ def _steal_cs() -> int:
         return 0
 
 
-def _tree_cpu_s() -> float:
-    """Total CPU seconds (utime+stime) of this process and EVERY live
-    descendant — the JVM and its Python workers are all children in
-    local mode. Contention inflates WALL, not CPU, so the per-row CPU
-    delta is the contention-immune signal the steal/loadavg ledger
-    cannot provide (VERDICT r11 item 2: six rows regressed 2-10x on
-    steal-quiet ledgers the gate was blind to). Best-effort: a pid
-    that exits mid-walk is skipped (its CPU was charged to the parent
-    via waited-children times only after reap — acceptable drift for
-    an adjudication signal, not a benchmark number)."""
-    hz = os.sysconf("SC_CLK_TCK")
-    ppid_of, cpu_of = {}, {}
-    for pid in os.listdir("/proc"):
-        if not pid.isdigit():
-            continue
-        try:
-            with open(f"/proc/{pid}/stat") as f:
-                parts = f.read().rsplit(") ", 1)[1].split()
-        except OSError:
-            continue
-        # fields after comm: state ppid ... utime(11) stime(12)
-        ppid_of[int(pid)] = int(parts[1])
-        cpu_of[int(pid)] = (int(parts[11]) + int(parts[12])) / hz
-    kids: dict[int, list[int]] = {}
-    for pid, ppid in ppid_of.items():
-        kids.setdefault(ppid, []).append(pid)
-    total, stack = 0.0, [os.getpid()]
-    while stack:
-        pid = stack.pop()
-        total += cpu_of.get(pid, 0.0)
-        stack.extend(kids.get(pid, ()))
-    return total
+from museum_image_etl_gridfs_spark.hostmetrics import (  # noqa: E402
+    tree_cpu_s as _tree_cpu_s,
+)
 
 
 class _NoiseClock:

@@ -51,6 +51,7 @@ FULL_GOLDENS = {
     "lsh_bucketed_ann": ["bucket"],
     "ivf_topk_ann": ["qid", "neighbor_id"],
     "pca_projection": ["vec_id"],
+    "pq_adc_topk": ["qid", "neighbor_id"],
 }
 
 

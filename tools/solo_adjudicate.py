@@ -113,10 +113,10 @@ def _run_one(name: str, sf_dir: str, spark_only: bool) -> dict | None:
         sf_dir,
         "--out",
         out,
-        name,
     ]
     if spark_only:
-        cmd[5:5] = ["--spark-only", name]
+        cmd += ["--spark-only", name]
+    cmd.append(name)
     subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
     try:
         return json.load(open(out))["results"][name]
