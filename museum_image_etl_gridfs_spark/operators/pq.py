@@ -257,3 +257,125 @@ def adc_topk(
         [("approx_sq_dist", True), ("neighbor_id", True)],
         top_k,
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: list[tuple],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 5,
+    top_k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. TPAMI 2011 §IV — the composition every
+    production vector index ships): coarse-quantize into ``k_cells``
+    IVF cells (``operators/ann.py::assign_cells``), PQ-encode each
+    vector's RESIDUAL against its cell centroid (residuals are far
+    better centered than raw vectors, so the same code budget buys
+    less quantization error), and answer queries by probing the
+    ``n_probe`` nearest cells with per-(query, cell) ADC tables built
+    from the query's residual against that cell's centroid.
+
+    Scale shape: cells prune the corpus (only ~n_probe/k_cells of the
+    codes are scored per query) AND the scored side is code bytes,
+    not floats — the two multiplicative reductions that make
+    billion-vector search fit a cluster. Driver state: k_cells
+    centroids + m·k codebooks + len(queries)·n_probe ADC tables, all
+    corpus-size-independent. Deterministic end to end (seeded
+    assign_cells + seeded Lloyd's): golden-pinnable.
+    """
+    from .ann import assign_cells
+
+    cent_df, assigned = assign_cells(
+        emb, id_col=id_col, vec_col=vec_col, k_cells=k_cells
+    )
+    # O(k_cells·dim) driver collect — the documented IVF model state
+    cents = {
+        r["cell_id"]: np.asarray(r["centroid"], dtype=np.float64)
+        for r in cent_df.collect()
+    }
+    cmat = np.stack([cents[c] for c in sorted(cents)])
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in cents[c]])
+            for c in sorted(cents)
+        ]
+    )
+    res_df = assigned.select(
+        id_col,
+        "cell_id",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
+            lambda a, b: a - b,
+        ).alias("res"),
+    )
+    codebooks = pq_fit(
+        res_df, id_col=id_col, vec_col="res", m=m, k=k, n_iter=n_iter
+    )
+    codes = pq_encode(res_df, codebooks, id_col=id_col, vec_col="res").join(
+        res_df.select(id_col, "cell_id"), id_col
+    )
+
+    cb = codebooks.astype(np.float64)
+    dsub = cb.shape[2]
+    probes: dict = {}
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        cell_d = ((cmat - q[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(cell_d)), cell_d))[:n_probe]
+        for cell in order:
+            qres = q - cmat[cell]
+            probes[(qid, int(cell))] = np.stack(
+                [
+                    (
+                        (cb[s] - qres[s * dsub : (s + 1) * dsub][None, :])
+                        ** 2
+                    ).sum(axis=1)
+                    for s in range(m)
+                ]
+            )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.stack([np.asarray(v) for v in pdf["codes"]])
+            ids = pdf["__id"].values
+            cells = pdf["cell_id"].values
+            for (qid, cell), tab in probes.items():
+                in_cell = (cells == cell) & (ids != qid)
+                if not in_cell.any():
+                    continue
+                d = tab[np.arange(m)[None, :], c[in_cell]].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.full(in_cell.sum(), qid),
+                        "neighbor_id": ids[in_cell],
+                        "approx_sq_dist": np.round(d, round_to),
+                    }
+                )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    scored = spread(
+        codes.select(
+            F.col(id_col).alias("__id"), "cell_id", "codes"
+        ),
+        "__id",
+    ).mapInPandas(
+        run, f"qid {id_type}, neighbor_id {id_type}, approx_sq_dist double"
+    )
+    return grouped_topk(
+        scored,
+        ["qid"],
+        [("approx_sq_dist", True), ("neighbor_id", True)],
+        top_k,
+    )

@@ -279,6 +279,31 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivfpq_topk_ann", oracle=None, tags=("similarity", "ivf", "pq", "extension")
+)
+def ivfpq_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (Jégou et al. TPAMI 2011 §IV): coarse
+    IVF cells prune the corpus (~n_probe/k_cells scored per query)
+    and PQ residual codes compress what is scored (floats never
+    touched at query time) — the two multiplicative reductions behind
+    every production billion-vector index. Deterministic end to end;
+    golden-pinned (iterative Lloyd's has no SQL oracle); recall and
+    residual-advantage properties in tests/test_pq.py."""
+    from ..operators.pq import ivfpq_topk
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_topk(
+        emb, queries, k_cells=16, n_probe=4, m=4, k=16, top_k=_TOP_K
+    ).select("qid", "neighbor_id", "approx_sq_dist")
+
+
 @query("ivf_topk_ann", oracle=None, tags=("similarity", "ivf", "extension"))
 def ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: probe the 4 nearest of 16 Voronoi cells per

@@ -134,3 +134,44 @@ def test_pq_codes_in_range_and_schema(spark, sf_dir):
     assert agg["lo"] >= 0 and agg["hi"] < 8
     assert agg["m_lo"] == agg["m_hi"] == 4
     assert agg["n"] == emb.count()
+
+
+def test_ivfpq_cluster_purity_and_determinism(spark):
+    """IVF-PQ on clustered data: probing the query's own cells must
+    return same-cluster neighbors; two runs are bit-identical."""
+    from museum_image_etl_gridfs_spark.operators.pq import ivfpq_topk
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(8, 32)) * 4.0
+    vecs = {i: centers[i % 8] + rng.normal(size=32) * 0.15 for i in range(160)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        ["vec_id", "embedding"],
+    )
+    queries = [(i, [float(x) for x in vecs[i]]) for i in range(2)]
+    kw = dict(k_cells=8, n_probe=2, m=4, k=8, top_k=5)
+    a = sorted(map(tuple, ivfpq_topk(emb, queries, **kw).collect()))
+    b = sorted(map(tuple, ivfpq_topk(emb, queries, **kw).collect()))
+    assert a == b and a
+    for qid, nid, _ in a:
+        assert nid % 8 == qid % 8, (qid, nid)
+
+
+def test_ivfpq_full_probe_beats_random_on_fixture(spark, sf_dir):
+    """Full-probe IVF-PQ approx distances must correlate with true
+    squared L2 on the fixture — residual encoding keeps the ADC
+    contract that raw-vector PQ satisfies."""
+    from museum_image_etl_gridfs_spark.operators.pq import ivfpq_topk
+
+    emb = load(spark, "embeddings", sf_dir)
+    rows = emb.select("vec_id", "embedding").collect()
+    data = {r["vec_id"]: np.asarray(r["embedding"], float) for r in rows}
+    q = (0, [float(x) for x in data[0]])
+    out = ivfpq_topk(
+        emb, [q], k_cells=4, n_probe=4, m=4, k=16, top_k=10**9
+    ).collect()
+    assert len(out) == len(data) - 1  # full probe scores everyone
+    true = {i: float(((data[0] - v) ** 2).sum()) for i, v in data.items()}
+    pairs = [(true[r["neighbor_id"]], r["approx_sq_dist"]) for r in out]
+    t, a = zip(*pairs)
+    assert np.corrcoef(t, a)[0, 1] > 0.3

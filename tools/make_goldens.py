@@ -52,6 +52,7 @@ FULL_GOLDENS = {
     "ivf_topk_ann": ["qid", "neighbor_id"],
     "pca_projection": ["vec_id"],
     "pq_adc_topk": ["qid", "neighbor_id"],
+    "ivfpq_topk_ann": ["qid", "neighbor_id"],
 }
 
 
