@@ -66,6 +66,8 @@ EXPECTED_PYTHON = {
     "applyinpandas_gap_stats",   # grouped-map applyInPandas surface (§2.10)
     "http_ingest_pipeline",      # batch-HTTP fetch stage (S2/U1, hermetic)
     "binary_fetch_pipeline",     # binary blob fetch stage (S3/F2, hermetic)
+    "pq_adc_topk",               # PQ encode + ADC table gather (numpy)
+    "ivfpq_topk_ann",            # IVF-PQ residual encode + probed ADC
 }
 
 
