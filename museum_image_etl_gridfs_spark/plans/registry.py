@@ -108,14 +108,17 @@ DRIVER_PREFIX = 50
 NEVER_GREEN_CAP = 5
 
 #: never-green queries to drain FIRST, ahead of registration order
-#: (VERDICT r10 item 3 names the full r11 set; anything newer follows
-#: in registration order next round).
+#: (VERDICT r11 item 3 names the five r11 additions that have never
+#: had driver contact; r12's own additions — gopher_dup_line_stats,
+#: signlsh_topk — register earlier in module order and would
+#: otherwise displace two of them from the capped band, so they queue
+#: behind and lead r13).
 _NEVER_GREEN_FIRST = (
-    "doremi_domain_weights",
-    "data_constrained_epochs",
-    "gopher_top_ngram_fraction",
-    "classifier_calibration",
-    "corpus_power_laws",
+    "gopher_dup_ngram_chars",
+    "substring_dedup_rewrite",
+    "source_unigram_kl",
+    "filter_agreement_kappa",
+    "ngram_novelty_profile",
 )
 
 #: no-oracle queries to grant the trickle slot FIRST among equal
@@ -172,11 +175,15 @@ def _ordered(queries: list[Query]) -> list[Query]:
     oracle = [q for q in rest if q.oracle is not None]
     no_oracle = sorted(
         (q for q in rest if q.oracle is None),
+        # the VERDICT r11 queue outranks even never-run newcomers:
+        # each round ships new golden-pinned queries at _last=0, so a
+        # plain oldest-first key would let them starve the r4 cohort
+        # indefinitely (kmeans took r10, semantic_dedup r11 that way)
         key=lambda q: (
-            _last(q),
             _NO_ORACLE_FIRST.index(q.name)
             if q.name in _NO_ORACLE_FIRST
             else len(_NO_ORACLE_FIRST),
+            _last(q),
         ),
     )
     never = sorted(

@@ -59,11 +59,27 @@ def test_driver_prefix_rotates_stalest_first():
     assert len(trickle) <= 1
     if trickle:
         assert body[-1] == trickle[0]
-        # the trickle slot goes to the no-oracle query with the OLDEST
-        # driver contact (never-run first)
-        all_no_oracle = [n for n in QUERIES if QUERIES[n].oracle is None]
-        oldest = min(all_no_oracle, key=lambda n: LAST_CHECKED.get(n, 0))
-        assert LAST_CHECKED.get(trickle[0], 0) == LAST_CHECKED.get(oldest, 0)
+        # the trickle slot drains the explicit VERDICT queue first
+        # (each round ships new golden-pinned queries at last=0, so
+        # oldest-contact-first alone would starve the backlog), then
+        # falls back to oldest driver contact
+        from museum_image_etl_gridfs_spark.plans.registry import (
+            _NO_ORACLE_FIRST,
+        )
+
+        queued = [n for n in _NO_ORACLE_FIRST if n in QUERIES]
+        if queued:
+            assert trickle[0] == queued[0]
+        else:
+            all_no_oracle = [
+                n for n in QUERIES if QUERIES[n].oracle is None
+            ]
+            oldest = min(
+                all_no_oracle, key=lambda n: LAST_CHECKED.get(n, 0)
+            )
+            assert LAST_CHECKED.get(trickle[0], 0) == LAST_CHECKED.get(
+                oldest, 0
+            )
     # no oracle-checkable query outside the prefix is staler than any
     # non-sentinel inside it (the rotation spends budget on the stalest)
     outside = [
