@@ -55,6 +55,30 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_learn_merges", oracle=None, tags=("text", "tokenizer", "extension")
+)
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the BPE merge TABLE from the corpus (Sennrich ACL'16 —
+    the training half of the tokenizer story; ``bpe_token_stats`` is
+    the application half). Word-count compression first (the ONLY
+    corpus-wide pass), then each merge iteration runs over the
+    vocab-sized (word, cnt, symbols) relation: weighted pair counts
+    via one map-side-combined groupBy, argmax with a total tie-break,
+    Arrow-batched re-segmentation. Deterministic (no RNG) —
+    golden-pinned; hand-computed merge sequences in
+    tests/test_bpe.py. Returns (step, left, right, weighted_count).
+    """
+    from ..operators.bpe import learn_bpe_merges
+
+    docs = load(spark, "documents", sf_dir)
+    merges = learn_bpe_merges(docs, n_merges=8)
+    return spark.createDataFrame(
+        merges or [],
+        "step int, left string, right string, weighted_count long",
+    )
+
+
+@query(
     "bpe_token_stats",
     oracle=f"""
     SELECT doc_id,
