@@ -14,6 +14,7 @@ from ..catalog import load
 from ..functions import quality as Q
 from ..functions import text as TX
 from ..functions.chunking import chunk_documents, chunk_oracle_sql
+from ..partitioning import spread
 from .registry import query
 
 # DuckDB mirrors of functions/text.py expressions (note the 'g' flag:
@@ -141,8 +142,14 @@ def _lang_oracle() -> str:
 @query("lang_id", oracle=_lang_oracle(), tags=("text", "extension"))
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language heuristic (argmax over marker counts,
-    first-language-wins ties, 'und' when no markers hit)."""
-    docs = load(spark, "documents", sf_dir)
+    first-language-wins ties, 'und' when no markers hit).
+
+    spread() first: the marker scoring is ~40 interpreted-HOF list
+    filters per doc — by far the heaviest per-row projection in the
+    text family (13.5 s single-task at sf1 on the one-file fixture,
+    measured r12) — and must track cores, not input splits.
+    """
+    docs = spread(load(spark, "documents", sf_dir), "doc_id")
     return docs.select("doc_id", TX.lang_guess("text").alias("lang_guess"))
 
 

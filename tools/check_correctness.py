@@ -183,8 +183,17 @@ def main() -> int:
         t0 = time.time()
         if name in spark_only:
             try:
-                rows = q.build(spark, args.sf_dir).count()
+                # time FULL materialization (noop sink), never count():
+                # count() lets Catalyst prune every projected column,
+                # so a narrow CPU-heavy query times as row counting —
+                # measured 1.28 s count vs 15 s materialized on
+                # lang_id at sf1 (r12 lesson; bench.py's docstring
+                # warned about exactly this). rows come from an
+                # untimed count afterwards.
+                df = q.build(spark, args.sf_dir)
+                df.write.format("noop").mode("overwrite").save()
                 spark_sec = round(time.time() - t0, 2)
+                rows = df.count()
                 results[name] = {
                     "status": "SPARK_ONLY_OK",
                     "rows": rows,
