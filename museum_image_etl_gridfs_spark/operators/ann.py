@@ -355,26 +355,57 @@ def _jaccard_score_fn(threshold: float, id_np: str):
 
         for pdf in batches:
             for diag, ms_a, ms_b in zip(pdf["diag"], pdf["ms_a"], pdf["ms_b"]):
-                sets_a = [(m["id"], set(m["ts"])) for m in ms_a]
-                sets_b = [(m["id"], set(m["ts"])) for m in ms_b]
-                vocab = {}
-                for _, s in sets_a + sets_b:
-                    for t in s:
-                        vocab.setdefault(t, len(vocab))
-                ia = np.zeros((len(sets_a), len(vocab)), dtype=np.int32)
-                ib = np.zeros((len(sets_b), len(vocab)), dtype=np.int32)
-                for r, (_, s) in enumerate(sets_a):
-                    ia[r, [vocab[t] for t in s]] = 1
-                for r, (_, s) in enumerate(sets_b):
-                    ib[r, [vocab[t] for t in s]] = 1
-                inter = ia @ ib.T
-                size_a = ia.sum(axis=1)[:, None]
-                size_b = ib.sum(axis=1)[None, :]
+                # Vectorized incidence build (r12, guide §4.2): the
+                # token sets arrive ALREADY distinct (array_distinct
+                # runs JVM-side in the packing projection), so the
+                # per-doc Python set()s and the per-token vocab-dict
+                # loop the first draft used were pure interpreter
+                # overhead — one pd.factorize over the cell's
+                # concatenated token stream plus one fancy-index
+                # scatter replaces every Python-level token touch
+                # (measured: the scoring stage's Python time dominated
+                # the near_dup_components_exact run at sf0.1).
+                toks_a = [np.asarray(m["ts"], dtype=object) for m in ms_a]
+                toks_b = [np.asarray(m["ts"], dtype=object) for m in ms_b]
+                na, nb = len(toks_a), len(toks_b)
+                len_a = np.fromiter(
+                    (t.size for t in toks_a), dtype=np.int64, count=na
+                )
+                len_b = np.fromiter(
+                    (t.size for t in toks_b), dtype=np.int64, count=nb
+                )
+                total_a = int(len_a.sum())
+                flat = (
+                    np.concatenate(toks_a + toks_b)
+                    if total_a + int(len_b.sum())
+                    else np.empty(0, dtype=object)
+                )
+                codes, uniques = pd.factorize(flat)
+                vsize = len(uniques)
+                # float32 incidence, NOT int32: numpy integer matmul
+                # has no BLAS path (a naive triple loop — measured
+                # 99.8 s vs 1.3 s on a 1500×1500×30k-vocab cell), while
+                # the float product runs through BLAS. Exact by
+                # construction: every partial sum is an integer ≤ the
+                # larger set size, and float32 represents integers
+                # exactly up to 2^24 (float64 guard above that).
+                fdt = (
+                    np.float32
+                    if max(len_a.max(initial=0), len_b.max(initial=0)) < 2**24
+                    else np.float64
+                )
+                ia = np.zeros((na, vsize), dtype=fdt)
+                ib = np.zeros((nb, vsize), dtype=fdt)
+                ia[np.repeat(np.arange(na), len_a), codes[:total_a]] = 1
+                ib[np.repeat(np.arange(nb), len_b), codes[total_a:]] = 1
+                inter = (ia @ ib.T).astype(np.int64)
+                size_a = len_a[:, None]
+                size_b = len_b[None, :]
                 union = size_a + size_b - inter
                 with np.errstate(divide="ignore", invalid="ignore"):
                     jac = np.where(union == 0, 0.0, inter / union)
-                aid = np.array([t[0] for t in sets_a])
-                bid = np.array([t[0] for t in sets_b])
+                aid = np.array([m["id"] for m in ms_a])
+                bid = np.array([m["id"] for m in ms_b])
                 if diag and jac.size:
                     # a diagonal cell pairs a sub-block with ITSELF:
                     # keep each unordered pair exactly once by masking

@@ -52,34 +52,40 @@ def connected_components(
         eager=True,
     )
 
+    labels_cp = labels  # raw checkpoint handle for early release
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["v"] == labels["vertex"])
             .groupBy(F.col("u").alias("vertex"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = tracked_local_checkpoint(
+        # The convergence flag rides INSIDE the propagation select: the
+        # old label is already present in this join, so a label change
+        # (nbr_label < label; NULL when no neighbor improved → false)
+        # is known per row with zero extra work. The previous shape —
+        # a separate new⋈old join + count per round — paid one full
+        # shuffle join of the label table every iteration just to ask
+        # "did anything move?" (guide §2.4: remove shuffles outright);
+        # now the check is a narrow scan of the just-materialized
+        # checkpoint blocks.
+        new_cp = tracked_local_checkpoint(
             labels.join(neighbor_min, "vertex", "left")
             .select(
                 "vertex",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
             ),
             eager=True,  # truncate lineage every round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_cp.filter(F.col("__changed")).limit(1).count()
         # round i's labels are dead once round i+1 is materialized —
         # releasing here caps in-flight checkpoint storage at O(1)
         # rounds instead of O(diameter)
-        release_df(labels)
-        labels = new_labels
+        release_df(labels_cp)
+        labels_cp = new_cp
+        labels = new_cp.select("vertex", "label")
         if changed == 0:
             release_df(sym)  # the returned labels no longer need sym
             return labels.select("vertex", F.col("label").alias("component"))

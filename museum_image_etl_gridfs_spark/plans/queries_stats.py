@@ -631,6 +631,7 @@ def near_dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.ann import jaccard_pairs_blocked
     from ..operators.components import connected_components
+    from ..operators.lifecycle import tracked_local_checkpoint
 
     docs = load(spark, "documents", sf_dir)
     toks = docs.select(
@@ -653,10 +654,26 @@ def near_dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         F.md5(F.to_json(F.col("ts"))),
     )
-    groups = toks.groupBy("source", "fp").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.min_by("ts", "doc_id").alias("ts"),
-        F.count(F.lit(1)).alias("grp_n"),
+    # One corpus scan total (r12 optimization, guide §2.4/§5): the
+    # collapse carries its MEMBER LIST in the same aggregate, and the
+    # result is pinned behind a tracked localCheckpoint. Before, the
+    # un-checkpointed ``groups`` was consumed four times (the jaccard
+    # sub-block derivation aggregate, the packed-block stage, the
+    # self-edges filter, and a members re-join that ALSO re-scanned
+    # ``toks``) — every consumer re-ran the parquet scan + tokenize +
+    # fingerprint groupBy from source (measured 4-5 scans of
+    # documents.parquet per run in the stage ledger; the simjoin
+    # learned this same lesson in r6). Membership now re-expands from
+    # the carried list — no corpus-sized re-join at the end. Same
+    # storage contract as the simjoin: callers release via
+    # lifecycle.release_checkpoints after materializing.
+    groups = tracked_local_checkpoint(
+        toks.groupBy("source", "fp").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.min_by("ts", "doc_id").alias("ts"),
+            F.count(F.lit(1)).alias("grp_n"),
+            F.collect_list("doc_id").alias("member_ids"),
+        )
     )
     rep_pairs = jaccard_pairs_blocked(
         groups.select(F.col("rep_id").alias("doc_id"), "source", "ts"),
@@ -673,7 +690,9 @@ def near_dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components(
         rep_pairs.select("id_a", "id_b").unionByName(self_edges)
     )
-    members = toks.join(groups.select("source", "fp", "rep_id"), ["source", "fp"])
+    members = groups.select(
+        "rep_id", F.explode("member_ids").alias("doc_id")
+    )
     doc_comp = members.join(
         comps, members.rep_id == comps.vertex
     ).select("doc_id", "component")
