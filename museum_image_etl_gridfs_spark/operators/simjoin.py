@@ -103,6 +103,60 @@ def _suffix_overlap_bound(
     return F.least(x_l, y_l) + F.least(x_r, y_r) + has_w
 
 
+def _verify_jaccard_fn(threshold: float):
+    """Vectorized exact-verification kernel for
+    :func:`prefix_filter_jaccard_join` (module-level for direct
+    testability).
+
+    Each Arrow batch carries candidate pairs with their rank arrays
+    (ascending, duplicate-free by construction: ranks are a total
+    order over distinct tokens). Intersection sizes for the whole
+    batch come from one lexsort + adjacent-duplicate scan over the
+    flattened (pair, rank) stream — a rank appearing twice under one
+    pair id is exactly one shared token. inter/union stay int64; the
+    single float64 division and the >= threshold compare are
+    bit-identical to the JVM expressions they replace.
+    """
+
+    def verify(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            nrow = b.num_rows
+            if nrow == 0:
+                continue
+            na = b.column("na").to_numpy(zero_copy_only=False).astype(np.int64)
+            nb = b.column("nb").to_numpy(zero_copy_only=False).astype(np.int64)
+            ra, rb = b.column("ra"), b.column("rb")
+            va = ra.flatten().to_numpy(zero_copy_only=False)
+            vb = rb.flatten().to_numpy(zero_copy_only=False)
+            la = np.diff(ra.offsets.to_numpy())
+            lb = np.diff(rb.offsets.to_numpy())
+            idx = np.arange(nrow)
+            vals = np.concatenate([va, vb])
+            pids = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+            order = np.lexsort((vals, pids))
+            sv, sp = vals[order], pids[order]
+            dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+            inter = np.bincount(sp[1:][dup], minlength=nrow)
+            union = na + nb - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.where(union == 0, 0.0, inter / union)
+            keep = pa.array(jac >= threshold)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.filter(b.column("id_a"), keep),
+                    pc.filter(b.column("id_b"), keep),
+                    pa.array(jac[jac >= threshold], type=pa.float64()),
+                ],
+                names=["id_a", "id_b", "jaccard"],
+            )
+
+    return verify
+
+
 def prefix_filter_jaccard_join(
     docs: DataFrame,
     *,
@@ -341,65 +395,39 @@ def prefix_filter_jaccard_join(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.struct(
-                F.col("a.p").alias("p"),
-                F.col("a.pos").alias("pa"),
-                F.col("b.pos").alias("pb"),
-            ).alias("o"),
         )
     )
-    # Pair dedup that KEEPS the anchor: min(struct(p, pos_a, pos_b))
-    # per pair is the occurrence at the pair's lowest-rank surviving
-    # shared prefix token — for a TRUE pair that is its globally first
-    # shared token (the positional filter never drops it there), the
-    # anchor at which the suffix filter below is provably safe. Same
-    # shuffle class as the distinct() it replaces (map-side partial
-    # min), three ints wider per pair.
-    # The repartition doubles as the dedup's distribution: grouping by
-    # (id_a, id_b) here would be a second shuffle of the full
-    # occurrence stream, so the partial min runs map-side in the join
-    # stage and only the combined partials move.
+    # Pair dedup: a plain two-column distinct with map-side partial
+    # aggregation in the join stage — only combined partials move.
+    # (r12: the min(struct(p, pos_a, pos_b)) anchor this used to keep
+    # existed solely for the JVM suffix filter; the vectorized verify
+    # below intersects every candidate in one fused pass, so the
+    # anchor — a 12-bytes-per-occurrence struct built inside the
+    # quadratic join emit — is dead weight.)
     cand = (
-        occ.groupBy("id_a", "id_b")
-        .agg(F.min("o").alias("o"))
-        # spread the suffix-filter + exact-verify stage: the deduped
-        # pair stream is small in BYTES (AQE would coalesce it to 1-2
-        # tasks) but each row pays array work downstream
+        occ.distinct()
+        # spread the exact-verify stage: the deduped pair stream is
+        # small in BYTES (AQE would coalesce it to 1-2 tasks) but
+        # each row pays array work downstream
         .repartition(nparts, "id_a")
     )
 
     # Re-attach the rank arrays (planner-chosen joins; AQE broadcasts
-    # when a side is small) for the last two stages:
-    # - PPJoin SUFFIX filter (Xiao'08 §4) at the anchor: elements
-    #   before the anchor cannot match across the pair (all rank below
-    #   the shared token on both sides; a cross match would contradict
-    #   the anchor's minimality — argument valid for every TRUE pair),
-    #   so overlap(x, y) = 1 + overlap(x_suffix, y_suffix), bounded
-    #   content-aware by the median-split probe BEFORE the exact
-    #   intersect. For false pairs whose true first shared token was
-    #   positionally pruned the anchor sits deeper and the bound may
-    #   underestimate — harmless: those pairs fail exact verification
-    #   anyway; only never-pruning-true-pairs matters for exactness.
-    # - exact verification on the full rank arrays (longs — cheaper to
-    #   shuffle and intersect than the token strings).
+    # when a side is small) and verify exactly in ONE vectorized
+    # Arrow pass (guide §4.2). The r11 shape ran the PPJoin suffix
+    # filter as an interpreted per-candidate HOF (F.aggregate over the
+    # full rank array — no codegen) followed by per-pair
+    # array_intersect; on a duplicate-dense corpus ~98% of candidates
+    # are TRUE pairs (measured sf0.1: 450,941 candidates → 358,361
+    # pairs), so the filter pruned almost nothing and every candidate
+    # paid both array walks. The Arrow kernel counts intersections for
+    # a whole batch with one lexsort + adjacent-duplicate scan over
+    # the flattened (pair, rank) stream — same exact arithmetic
+    # (sorted-unique rank arrays; inter/union in int64, one float64
+    # division), A/B-verified frame-identical on sf0.1 (3.0 s vs
+    # 3.8 s clean, and immune to the HOF's interpreted-cost cliff).
     sets = ordered.select("id", "rnks", "n")
-    sx = F.col("na") - F.col("o.pa") - 1
-    sy = F.col("nb") - F.col("o.pb") - 1
-    alpha2 = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
-        - F.lit(1e-9)
-    )
-    o_max = F.when(F.least(sx, sy) <= 0, F.lit(1)).otherwise(
-        1
-        + _suffix_overlap_bound(
-            F.col("ra"),
-            F.col("o.pa") + 1,
-            sx,
-            F.col("rb"),
-            F.col("o.pb") + 1,
-        )
-    )
-    verified = (
+    attached = (
         cand.join(
             sets.select(
                 F.col("id").alias("id_a"),
@@ -416,19 +444,13 @@ def prefix_filter_jaccard_join(
             ),
             "id_b",
         )
-        .filter(o_max >= alpha2)
-        .withColumn("inter", F.size(F.array_intersect("ra", "rb")))
-        .withColumn(
-            "jaccard",
-            F.when(F.col("na") + F.col("nb") - F.col("inter") == 0, F.lit(0.0))
-            .otherwise(
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "na", "nb", "ra", "rb")
     )
-    rep_pairs = verified.select("id_a", "id_b", "jaccard")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    rep_pairs = attached.mapInArrow(
+        _verify_jaccard_fn(threshold),
+        f"id_a {id_type}, id_b {id_type}, jaccard double",
+    )
 
     # Reconstitute document pairs from the collapsed groups.
     #
