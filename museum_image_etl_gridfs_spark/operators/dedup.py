@@ -156,7 +156,7 @@ def _minhash_band_rows(
     id_field, k: int, num_hashes: int, bands: int, seed: int,
     with_new: bool = False,
 ):
-    """mapInPandas worker: (id, text) batches -> one row per (doc,
+    """mapInArrow worker: (id, text) batches -> one row per (doc,
     band): (id, sig array<long>, band, band_hash) (+ the pass-through
     ``is_new`` flag when ``with_new``, for incremental mode).
 
@@ -166,11 +166,19 @@ def _minhash_band_rows(
     broadcast — a ~50-100x constant-factor win over evaluating the
     same arithmetic as interpreted Catalyst higher-order functions,
     and with none of their janino codegen cost on first run.
+
+    The band fan-out is assembled as Arrow arrays directly (r12,
+    guide §4.2): the previous pandas path appended one Python list of
+    64 longs per (doc, band) row and paid the object-column →
+    Arrow conversion on every batch — measured ~50% of the whole
+    sketch kernel. Now the per-doc signature matrix is row-repeated
+    with one np.repeat and wrapped as a ListArray over uniform
+    offsets; values, row order, and dtypes are identical.
     """
     import zlib
 
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     coeffs = _rand_coeffs(num_hashes, seed)
     a = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
@@ -179,18 +187,22 @@ def _minhash_band_rows(
     rpb = num_hashes // bands
 
     def fn(batches):
-        for pdf in batches:
-            ids, fps, sigs, band_ids, band_hashes = [], [], [], [], []
-            news = []
-            new_in = pdf["is_new"] if with_new else [False] * len(pdf)
-            for doc_id, fp, text, is_new in zip(
-                pdf["id"], pdf["fp"], pdf["text"], new_in
-            ):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            texts = rb.column("text").to_pylist()
+            sig_rows = np.empty((n, num_hashes), dtype=np.int64)
+            band_hashes = np.empty((n, bands), dtype=np.int64)
+            for i, text in enumerate(texts):
                 toks = (text or "").lower().split()
                 if len(toks) < k:
                     sh = {" ".join(toks)}
                 else:
-                    sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                    sh = {
+                        " ".join(toks[j : j + k])
+                        for j in range(len(toks) - k + 1)
+                    }
                 h = np.fromiter(
                     (zlib.crc32(s.encode("utf-8")) for s in sh),
                     dtype=np.uint64,
@@ -198,26 +210,37 @@ def _minhash_band_rows(
                 )
                 # a*h+b < 2^62: exact in uint64, no overflow wrap
                 sig = ((a * h[None, :] + b) % p).min(axis=1).astype(np.int64)
-                sig_list = sig.tolist()
+                sig_rows[i] = sig
                 for band in range(bands):
-                    ids.append(doc_id)
-                    fps.append(fp)
-                    sigs.append(sig_list)
-                    band_ids.append(band)
-                    band_hashes.append(
-                        zlib.crc32(sig[band * rpb : (band + 1) * rpb].tobytes())
+                    band_hashes[i, band] = zlib.crc32(
+                        sig[band * rpb : (band + 1) * rpb].tobytes()
                     )
-                    news.append(bool(is_new))
-            out = {
-                "id": ids,
-                "fp": fps,
-                "sig": sigs,
-                "band": band_ids,
-                "band_hash": band_hashes,
-            }
+            values = np.repeat(sig_rows, bands, axis=0).ravel()
+            # int32 offsets: n·bands·num_hashes stays far below 2^31
+            # for any sane Arrow batch (10k rows → 10.2M values)
+            offsets = np.arange(n * bands + 1, dtype=np.int32) * num_hashes
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(values, type=pa.int64()),
+            )
+            # arrow repeat via take: preserves the input id dtype
+            # (long OR string) without a numpy round-trip
+            fanout = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            cols = [
+                rb.column("id").take(fanout),
+                rb.column("fp").take(fanout),
+                sig_arr,
+                pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n),
+                    type=pa.int32(),
+                ),
+                pa.array(band_hashes.ravel(), type=pa.int64()),
+            ]
+            names = ["id", "fp", "sig", "band", "band_hash"]
             if with_new:
-                out["is_new"] = news
-            yield pd.DataFrame(out)
+                cols.append(rb.column("is_new").take(fanout))
+                names.append("is_new")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     schema = (
         f"id {id_field.dataType.simpleString()}, fp long, sig array<long>, "
@@ -339,7 +362,7 @@ def minhash_near_duplicates(
     fn, schema = _minhash_band_rows(
         src.schema["id"], k, num_hashes, bands, seed, with_new=bool(new_col)
     )
-    banded = src.mapInPandas(fn, schema)
+    banded = src.mapInArrow(fn, schema)
     if new_col:
         # Incremental band prune: a qualifying pair shares a band
         # bucket with a NEW doc, so corpus rows outside the batch's
@@ -354,7 +377,7 @@ def minhash_near_duplicates(
         new_keys = (
             src.filter(F.col("is_new"))
             .drop("is_new")
-            .mapInPandas(nfn, nschema)
+            .mapInArrow(nfn, nschema)
             .select("band", "band_hash")
             .distinct()
         )
