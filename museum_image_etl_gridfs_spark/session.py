@@ -51,6 +51,29 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Streaming checkpoint I/O (r12, guide §7.3): the default
+        # FileContext-based checkpoint manager routes every
+        # offset/commit/state-delta rename through Hadoop
+        # AbstractFileSystem.renameInternal, whose local-FS
+        # implementation calls getFileLinkStatus → FileUtil.readLink —
+        # which FORKS a `readlink` shell subprocess per file. A
+        # stateful micro-batch commits 4 state stores × N shuffle
+        # partitions, so availableNow runs spent whole seconds per
+        # task parked in ProcessImpl.forkAndExec with ~0 CPU (thread
+        # dump evidence; stream-stream join rows ran 11-14 s at ANY
+        # SF). The FileSystem-based manager commits via
+        # File.renameTo — same rename-based atomicity class, no fork.
+        # Deployments whose checkpoints live on HDFS/object stores can
+        # override via SPARK_GRAFT_CKPT_FM (cloud setups typically
+        # configure a store-specific manager anyway).
+        .config(
+            "spark.sql.streaming.checkpointFileManagerClass",
+            os.environ.get(
+                "SPARK_GRAFT_CKPT_FM",
+                "org.apache.spark.sql.execution.streaming.checkpointing."
+                "FileSystemBasedCheckpointFileManager",
+            ),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
