@@ -37,7 +37,7 @@ oracle-checkable.
 
 from __future__ import annotations
 
-import hashlib
+
 import math
 from collections.abc import Iterator
 
@@ -53,11 +53,23 @@ _PASS_SCHEMA = (
 )
 
 
-def _bucket(row: int, item: str, width: int) -> int:
-    """Stable per-row hash bucket (md5 fold — reproducible across
-    workers/driver, unlike Python's salted ``hash``)."""
-    h = hashlib.md5(f"{row}:{item}".encode()).hexdigest()
-    return int(h[:8], 16) % width
+def _buckets(row: int, items, width: int):
+    """Stable per-row hash buckets for an ARRAY of items, vectorized
+    (pandas siphash with a row-keyed 16-byte key — reproducible across
+    workers/driver/runs, unlike Python's salted ``hash``).
+
+    r12 (guide §4.2): the md5-per-(row, item) Python loop this
+    replaces hashed every unique token 4× per partition interpreted —
+    ~3× the cost of the entire value_counts pass; the sketch only
+    ROUTES work (the output is an exact recount), so the hash family
+    is swappable without any output change.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key = f"cms-row-{row:04d}".ljust(16)[:16]
+    arr = np.asarray(items, dtype=object)
+    return (pd.util.hash_array(arr, hash_key=key) % width).astype("int64")
 
 
 def cms_heavy_hitters(
@@ -108,13 +120,10 @@ def cms_heavy_hitters(
         )
         # (b) CMS partial: depth rows of width counters
         cms = np.zeros((depth, width), dtype="int64")
-        uniq = counts.index.astype(str)
+        uniq = counts.index.astype(str).to_numpy(dtype=object)
         vals = counts.values
         for r in range(depth):
-            cols = np.fromiter(
-                (_bucket(r, it, width) for it in uniq), dtype="int64", count=len(uniq)
-            )
-            np.add.at(cms[r], cols, vals)
+            np.add.at(cms[r], _buckets(r, uniq, width), vals)
         rows, poss = np.nonzero(cms)
         cms_df = pd.DataFrame(
             {
@@ -168,12 +177,20 @@ def cms_heavy_hitters(
 
     # prune the candidate union by the CMS upper bound (min over rows
     # ≥ exact count, so pruning is false-negative-free).
-    survivors = [
-        item
-        for item in cand_counts
-        if min(cms.get((r, _bucket(r, item, width)), 0) for r in range(depth))
-        >= threshold
-    ]
+    import numpy as np
+
+    cand_items = np.asarray(list(cand_counts), dtype=object)
+    if len(cand_items):
+        est = np.full(len(cand_items), np.iinfo(np.int64).max, dtype="int64")
+        for r in range(depth):
+            bs = _buckets(r, cand_items, width)
+            est = np.minimum(
+                est, np.fromiter((cms.get((r, int(b)), 0) for b in bs),
+                                 dtype="int64", count=len(bs))
+            )
+        survivors = [str(i) for i in cand_items[est >= threshold]]
+    else:
+        survivors = []
 
     if not survivors:
         return spark.createDataFrame([], "item string, freq long")
