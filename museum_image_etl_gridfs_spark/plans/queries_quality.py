@@ -267,22 +267,37 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, "documents", sf_dir).select("doc_id", "text")
 
     def bigrams_fn(batches):
+        # Vectorized bigram shingling (r12, guide §4.2): the previous
+        # per-position Python loop built ~5M bigram strings per run
+        # through a genexpr + dict insert each. pandas .str ops keep
+        # Python's exact strip/lower/split semantics; the bigram
+        # stream is one shifted elementwise concat over the batch's
+        # flattened word stream (doc boundaries masked out), and the
+        # per-doc distinct is a stable drop_duplicates — same
+        # first-kept gram set per doc as dict.fromkeys.
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            ids: list[int] = []
-            grams: list[str] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                t = "" if text is None else text.strip().lower()
-                ws = t.split()
-                if len(ws) < 2:
-                    continue  # unnest([]) semantics: no rows
-                sh = dict.fromkeys(
-                    ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)
-                )
-                ids.extend([doc_id] * len(sh))
-                grams.extend(sh)
-            yield pd.DataFrame({"doc_id": ids, "g": grams})
+            if not len(pdf):
+                continue
+            words = pdf["text"].fillna("").str.strip().str.lower().str.split()
+            lens = words.str.len().to_numpy()
+            mask = lens >= 2  # unnest([]) semantics: no rows
+            if not mask.any():
+                continue
+            exploded = words[mask].explode()
+            # object dtype throughout (np.concatenate would collapse
+            # to fixed-width '<U' and lose elementwise str concat)
+            flat = exploded.to_numpy()
+            rep = np.repeat(
+                pdf["doc_id"].to_numpy()[mask], lens[mask]
+            )
+            same = rep[:-1] == rep[1:]
+            grams = (flat[:-1][same] + " ") + flat[1:][same]
+            yield pd.DataFrame(
+                {"doc_id": rep[:-1][same], "g": grams}
+            ).drop_duplicates()
 
     schema = "doc_id bigint, g string"
     ev = (
