@@ -316,6 +316,17 @@ def ivfpq_topk(
             lambda a, b: a - b,
         ).alias("res"),
     )
+    # Materialize the residual relation ONCE (r12, guide §2.4/§5):
+    # it is consumed n_iter times by the Lloyd scans plus twice more
+    # (encode + cell_id re-attach), and every un-checkpointed consumer
+    # re-ran the whole upstream chain — corpus scan, 16-way centroid
+    # broadcast join, per-vector row_number window, interpreted
+    # zip_with residual — 7-8 times per build. Same storage contract
+    # as the simjoin groups checkpoint (caller releases via
+    # lifecycle.release_checkpoints).
+    from .lifecycle import tracked_local_checkpoint
+
+    res_df = tracked_local_checkpoint(res_df)
     codebooks = pq_fit(
         res_df, id_col=id_col, vec_col="res", m=m, k=k, n_iter=n_iter
     )
