@@ -517,11 +517,21 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = numbered.groupBy("user_id", "sid").agg(
         F.min("t").alias("s"), (F.max("t") + 1).alias("e")
     )
-    pts = sess.groupBy(F.col("s").alias("t")).agg(
-        F.count(F.lit(1)).alias("d")
-    ).unionAll(
-        sess.groupBy(F.col("e").alias("t")).agg((-F.count(F.lit(1))).alias("d"))
-    )
+    # ±1 boundary events in ONE pass (r12, guide §2.4): the previous
+    # shape unioned two separate aggregates of ``sess`` (groupBy start
+    # / groupBy end), and each branch re-ran the whole scan +
+    # sessionization windows + session aggregate from source. One
+    # explode of (start, +1)/(end, −1) structs feeds a single
+    # map-side-combined groupBy — same per-timestamp deltas, one
+    # sessionization, one shuffle.
+    pts = sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("b")
+    ).select("b.t", "b.d")
     ag = pts.groupBy("t").agg(F.sum("d").alias("d"))
     # distributed prefix sum: per-day running sums in parallel, then a
     # tiny global pass over day totals only
