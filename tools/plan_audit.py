@@ -68,6 +68,12 @@ EXPECTED_PYTHON = {
     "binary_fetch_pipeline",     # binary blob fetch stage (S3/F2, hermetic)
     "pq_adc_topk",               # PQ encode + ADC table gather (numpy)
     "ivfpq_topk_ann",            # IVF-PQ residual encode + probed ADC
+    # r12: the simjoin exact-verify moved from an interpreted JVM HOF
+    # (suffix-filter aggregate + per-pair array_intersect) to ONE
+    # vectorized Arrow pass over the candidate batch — intentional
+    # Python, output A/B-verified identical (operators/simjoin.py).
+    "prefix_join_near_dups",     # vectorized candidate verification
+    "incremental_near_dups",     # same verify, incremental mode
 }
 
 
