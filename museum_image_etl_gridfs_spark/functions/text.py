@@ -133,17 +133,40 @@ def lang_guess(text: Column | str) -> Column:
     from .quality import words
 
     ws = words(F.lower(F.coalesce(_col(text), F.lit(""))))
+    langs = list(LANG_MARKERS)
 
-    def score(lang: str) -> Column:
-        markers = LANG_MARKERS[lang]
-        return F.size(
-            F.filter(ws, lambda w: F.btrim(w, F.lit(PUNCT_CHARS)).isin(*markers))
+    # ONE tokenize + ONE btrim pass + ONE counting pass (r12): the
+    # previous per-language F.filter shape referenced the ``ws``
+    # expression from every score, and every score twice more
+    # (greatest + the tie chain) — expression references re-evaluate
+    # their whole subtree, so the split ran ~10× per row and each
+    # filter walked the tokens again (the NOTES round-12 HOF lesson:
+    # only lambda-bound variables are free). Here the trimmed token
+    # array is the aggregate's INPUT (evaluated once), the per-token
+    # step updates all language counters in one walk, and the argmax
+    # runs inside the finish lambda where ``acc`` is a bound variable.
+    # Tie semantics identical: array_max == greatest over the counts,
+    # the when-chain keeps the earliest dict entry, all-zero → 'und'.
+    zero = F.array(*[F.lit(0) for _ in langs])
+
+    def step(acc: Column, w: Column) -> Column:
+        return F.array(
+            *[
+                F.element_at(acc, i + 1)
+                + F.when(w.isin(*LANG_MARKERS[lang]), 1).otherwise(0)
+                for i, lang in enumerate(langs)
+            ]
         )
 
-    scores = {lang: score(lang) for lang in LANG_MARKERS}
-    best = F.greatest(*scores.values())
-    result = F.lit("und")
-    # reversed so that earlier dict entries win ties
-    for lang in reversed(list(LANG_MARKERS)):
-        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
-    return F.when(best <= 0, F.lit("und")).otherwise(result)
+    def finish(acc: Column) -> Column:
+        best = F.array_max(acc)
+        result = F.lit("und")
+        # reversed so that earlier dict entries win ties
+        for i in reversed(range(len(langs))):
+            result = F.when(
+                F.element_at(acc, i + 1) == best, F.lit(langs[i])
+            ).otherwise(result)
+        return F.when(best <= 0, F.lit("und")).otherwise(result)
+
+    trimmed = F.transform(ws, lambda w: F.btrim(w, F.lit(PUNCT_CHARS)))
+    return F.aggregate(trimmed, zero, step, finish)
