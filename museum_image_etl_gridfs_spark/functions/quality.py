@@ -56,17 +56,37 @@ def word_ngrams(ws: Column, n: int) -> Column:
     )
 
 
+def let_bound(expr: Column, body) -> Column:
+    """LET-binding for Catalyst expressions: evaluate ``expr`` ONCE
+    and hand it to ``body`` as a lambda-bound variable.
+
+    Column references re-evaluate their whole subtree at every use —
+    a non-trivial expression used k times costs k evaluations per row
+    (the NOTES round-12 HOF lesson: only lambda-bound variables are
+    free). ``transform`` over a one-element array evaluates its input
+    exactly once and binds it; ``element_at(..., 1)`` unwraps. The
+    price is one 1-element array per row — noise next to re-running a
+    gram build.
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def dup_ngram_fraction(ws: Column, n: int) -> Column:
     """Fraction of word n-grams that are repeats of an earlier one:
     ``(total - distinct) / total``, 0.0 when no n-grams. The Gopher
     repetition filter (dup 2-gram / 3-gram char fraction, simplified
     to gram counts) — high values mean boilerplate or degenerate text.
+
+    The gram array is let-bound (r12): the previous shape referenced
+    ``word_ngrams(ws, n)`` three times (total, distinct, ratio), so
+    every row built its full n-gram string array three times.
     """
-    grams = word_ngrams(ws, n)
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return F.when(total <= 0, F.lit(0.0)).otherwise(
-        (total - distinct) / total.cast("double")
+    return let_bound(
+        word_ngrams(ws, n),
+        lambda grams: F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+            (F.size(grams) - F.size(F.array_distinct(grams)))
+            / F.size(grams).cast("double")
+        ),
     )
 
 

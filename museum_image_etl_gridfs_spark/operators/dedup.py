@@ -539,23 +539,38 @@ def simhash(text_col, bits: int = 64) -> "F.Column":
     )
     hashes = F.transform(tokens, lambda tok: F.xxhash64(tok))
 
-    def bit_contrib(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    # ONE pass (r12): the previous shape ran a separate F.aggregate
+    # per bit, and each of the 64 aggregates re-evaluated the
+    # ``hashes`` subtree — 64 tokenize+hash walks per row (expression
+    # references re-run their subtree; only lambda-bound variables are
+    # free). Now a single aggregate carries a 64-wide counter array:
+    # the token hash ``h`` is bound in the step lambda, and the
+    # sign→bit assembly runs in the finish lambda over the bound
+    # accumulator. Contributions, signs, and bit placement are
+    # arithmetically identical.
+    zero = F.array(*[F.lit(0) for _ in range(bits)])
 
-    bit_cols = []
-    for i in range(bits):
-        contrib = F.aggregate(hashes, F.lit(0), bit_contrib(i))
-        bit_cols.append(
-            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+    def step(acc, h):
+        return F.array(
+            *[
+                F.element_at(acc, i + 1)
+                + F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for i in range(bits)
+            ]
         )
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return total
+
+    def finish(acc):
+        total = F.lit(0).cast("long")
+        for i in range(bits):
+            total = total + F.when(
+                F.element_at(acc, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        return total
+
+    return F.aggregate(hashes, zero, step, finish)
 
 
 def hamming64(a, b) -> "F.Column":
