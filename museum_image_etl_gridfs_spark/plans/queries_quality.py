@@ -1454,9 +1454,14 @@ def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     O({_FT_B}) broadcast join on the exploded stream.
     """
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
-    w = Q.words(F.lower(F.col("text")))
+    # w staged in its own projection — see classifier_calibration:
+    # word_ngrams' element_at lambda re-evaluates outer-referenced
+    # subtrees per element, so a raw tokenizer expression here is
+    # O(n^2) re-tokenization per document
+    wdf = docs.select("doc_id", Q.words(F.lower(F.col("text"))).alias("w"))
+    w = F.col("w")
     g = F.concat(w, Q.word_ngrams(w, 2))
-    feats = docs.select(
+    feats = wdf.select(
         "doc_id",
         F.explode_outer(g).alias("t"),  # keep zero-token docs (NULL t)
     )
@@ -2076,7 +2081,11 @@ def gopher_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id``. No Python, no window, no driver state.
     """
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
-    w = Q.words(F.lower(F.col("text")))
+    # w staged in its own projection — see classifier_calibration:
+    # each _tag(n)'s gram lambda would otherwise re-tokenize the whole
+    # document per gram position (O(n^2) per doc, three times over)
+    wdf = docs.select("doc_id", Q.words(F.lower(F.col("text"))).alias("w"))
+    w = F.col("w")
 
     def _tag(n: int):
         # NOTE: the lambda must take exactly ONE parameter — transform
@@ -2088,7 +2097,7 @@ def gopher_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tagged = F.concat(*[_tag(n) for n in (2, 3, 4)])
-    grams = docs.select("doc_id", F.explode(tagged).alias("t")).select(
+    grams = wdf.select("doc_id", F.explode(tagged).alias("t")).select(
         "doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g")
     )
     cnt = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
@@ -2204,9 +2213,21 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import ntile_exact
 
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
-    w = Q.words(F.lower(F.col("text")))
+    # Materialize the word array in its OWN projection before any
+    # consumer (r12): word_ngrams' gram lambda indexes the token array
+    # with element_at, and a lambda that references anything but its
+    # bound variables re-evaluates the referenced subtree PER ELEMENT
+    # — with ``w`` as the raw words(lower(text)) expression every
+    # bigram position re-tokenized the whole document (O(n²) per doc;
+    # the NOTES round-12 HOF lesson). As a non-cheap alias referenced
+    # more than once, ``w`` is safe from CollapseProject inlining.
+    # sf1 A/B: 61 s / 1312 CPU-s → see OPTIMIZATION_r12.md.
+    wdf = docs.select(
+        "doc_id", Q.words(F.lower(F.col("text"))).alias("w")
+    )
+    w = F.col("w")
     g = F.concat(w, Q.word_ngrams(w, 2))
-    feats = docs.select(
+    feats = wdf.select(
         "doc_id", F.explode_outer(g).alias("t")
     )
     unit = F.when(F.col("t").isNull(), F.lit(0).cast("long")).otherwise(
@@ -2219,7 +2240,7 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("t").alias("n_tok"), F.sum("u").alias("num"))
     )
-    rule = docs.select(
+    rule = wdf.select(
         "doc_id",
         (
             (F.size(w) >= 10)
@@ -2730,9 +2751,14 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature explode), a narrow rule stage, then ONE global 5-counter
     aggregate — O(1) output."""
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
-    w = Q.words(F.lower(F.col("text")))
+    # w staged in its own projection: word_ngrams' element_at lambda
+    # re-evaluates outer-referenced subtrees PER ELEMENT — with the
+    # raw tokenizer expression that is O(n^2) re-tokenization per doc
+    # (see classifier_calibration / NOTES round-12 HOF lesson)
+    wdf = docs.select("doc_id", Q.words(F.lower(F.col("text"))).alias("w"))
+    w = F.col("w")
     g = F.concat(w, Q.word_ngrams(w, 2))
-    feats = docs.select("doc_id", F.explode_outer(g).alias("t"))
+    feats = wdf.select("doc_id", F.explode_outer(g).alias("t"))
     unit = F.when(F.col("t").isNull(), F.lit(0).cast("long")).otherwise(
         (Q.hash_bucket(F.col("t"), _FT_B).cast("long") * F.lit(_FT_MIX))
         % F.lit(_FT_B)
@@ -2743,7 +2769,7 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("u").alias("num"))
     )
-    rule = docs.select(
+    rule = wdf.select(
         "doc_id",
         (
             (F.size(w) >= 10)

@@ -958,9 +958,17 @@ def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = load(spark, "lineitem", sf_dir).select(
         "l_returnflag", F.col("l_extendedprice").alias("price")
     )
+    # one percentile buffer, both fences (r12): two separate
+    # F.percentile aggregates each build and sort their own
+    # per-group value-count state over the full measure column; the
+    # array form shares ONE buffer and evaluates both interpolation
+    # points from it — same Percentile implementation, same values.
     fences = q.groupBy("l_returnflag").agg(
-        F.percentile("price", F.lit(0.05)).alias("p05"),
-        F.percentile("price", F.lit(0.95)).alias("p95"),
+        F.percentile("price", F.array(F.lit(0.05), F.lit(0.95))).alias("ps")
+    ).select(
+        "l_returnflag",
+        F.element_at("ps", 1).alias("p05"),
+        F.element_at("ps", 2).alias("p95"),
     )
     return (
         q.join(F.broadcast(fences), "l_returnflag")
