@@ -2483,8 +2483,15 @@ def gopher_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/transform_load.py) — extension surface.
     """
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
-    ws = Q.words(F.lower(F.col("text")))
-    chunked = docs.select(
+    # tokenizer staged in its own projection (r12): token_chunks'
+    # slice lambda references the token array per chunk element, so a
+    # raw words(lower(text)) argument re-tokenizes the document once
+    # per chunk (and twice over for the line+para widths)
+    wdf = docs.select(
+        "doc_id", Q.words(F.lower(F.col("text"))).alias("__ws")
+    )
+    ws = F.col("__ws")
+    chunked = wdf.select(
         "doc_id",
         F.array_sort(Q.token_chunks(ws, _LINE_W)).alias("ls"),
         F.array_sort(Q.token_chunks(ws, _PARA_W)).alias("ps"),
