@@ -146,15 +146,19 @@ def triangle_census(
         .join(e3, (F.col("y3") == F.col("y")) & (F.col("z3") == F.col("z")))
         .agg(F.count(F.lit(1)).alias("t"))
     )
-    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    triads = deg.agg(
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("tr")
+    # ONE aggregate over deg for nodes, edges, and open triads (r12,
+    # guide §2.4): these were three separate one-row aggregation
+    # branches (deg twice, e once), each its own job wave. n_edges
+    # derives exactly from the degree sum — every canonical distinct
+    # edge contributes 2 to Σd, so |E| = Σd >> 1 (shiftright keeps the
+    # halving in integer arithmetic; Σd is even by construction).
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.shiftright(F.sum("d"), 1).alias("n_edges"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("tr"),
     )
     return (
-        nn.crossJoin(F.broadcast(ne))
-        .crossJoin(F.broadcast(tri))
-        .crossJoin(F.broadcast(triads))
+        counts.crossJoin(F.broadcast(tri))
         .select(
             "n_nodes",
             "n_edges",
