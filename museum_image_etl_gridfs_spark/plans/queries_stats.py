@@ -410,18 +410,46 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
     w = docs.select(Q.words(F.lower(F.col("text"))).alias("w"))
+    # ONE tokenize + ONE exchange for BOTH count tables (r12, guide
+    # §2.4): the previous unigram and bigram branches each re-ran the
+    # scan + tokenizer (different grouping keys = two exchanges with
+    # no shared materialization — Spark has no DAG-level CSE). A
+    # tagged explode (kind 1 = unigram, kind 2 = bigram) feeds one
+    # map-side-combined groupBy; every consumer below (ucnt twice,
+    # bcnt, both totals) reads that single exchange via ReusedExchange.
     # explode_outer + IS NOT NULL: plain explode would let
     # InferFiltersFromGenerate inline the whole tokenizer chain into a
-    # scan-side size() filter, re-evaluated per row (NOTES.md trap)
-    uni = w.select(F.explode_outer("w").alias("term")).filter(
-        F.col("term").isNotNull()
+    # scan-side size() filter, re-evaluated per row (NOTES.md trap).
+    tagged = (
+        w.select(
+            F.explode_outer(
+                F.concat(
+                    F.transform(
+                        F.col("w"),
+                        lambda t: F.struct(
+                            F.lit(1).alias("k"), t.alias("t")
+                        ),
+                    ),
+                    F.transform(
+                        Q.word_ngrams(F.col("w"), 2),
+                        lambda g: F.struct(
+                            F.lit(2).alias("k"), g.alias("t")
+                        ),
+                    ),
+                )
+            ).alias("e")
+        )
+        .filter(F.col("e").isNotNull())
+        .select("e.k", "e.t")
     )
-    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    counts = tagged.groupBy("k", "t").agg(F.count(F.lit(1)).alias("c"))
+    ucnt = counts.filter(F.col("k") == 1).select(
+        F.col("t").alias("term"), "c"
+    )
     un = ucnt.agg(F.sum("c").alias("n"))
-    big = w.select(
-        F.explode_outer(Q.word_ngrams(F.col("w"), 2)).alias("bigram")
-    ).filter(F.col("bigram").isNotNull())
-    allb = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    allb = counts.filter(F.col("k") == 2).select(
+        F.col("t").alias("bigram"), F.col("c").alias("c_xy")
+    )
     bn = allb.agg(F.sum("c_xy").alias("b"))
     bcnt = allb.filter(F.col("c_xy") >= _PMI_MIN_PAIR)
     x = ucnt.select(F.col("term").alias("tx"), F.col("c").alias("cx"))
