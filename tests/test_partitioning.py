@@ -71,7 +71,7 @@ def test_minhash_has_no_barrier_on_presplit_input(spark, sf_dir, tmp_path):
     # sits directly on the FileScan, and it appears exactly ONCE (the
     # exact-dup star branch must not fork/re-run the sketch).
     assert plan.count("REPARTITION_BY_COL") == 1
-    assert plan.count("MapInPandas fn(") == 1
+    assert plan.count("MapInArrow fn(") == 1
     # remaining exchanges are all narrow: the (fp, id) star aggregate
     # + its join side, and the final pair dedup
     assert plan.count("Exchange hashpartitioning") <= 4
