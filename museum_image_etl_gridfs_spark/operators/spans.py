@@ -63,9 +63,54 @@ of the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+#: input-size ceiling (bytes, est. from the source's optimized-plan
+#: stats) under which :func:`duplicated_spans` materializes the gram
+#: inventory behind a tracked localCheckpoint instead of deriving it
+#: twice. The inventory is O(total tokens) rows × 3 longs — roughly
+#: corpus-sized storage — so the checkpoint is a win exactly while the
+#: executors can hold it (MEMORY_AND_DISK); past the gate the operator
+#: keeps the two-pass shape, whose second scan is linear and
+#: spill-free (the documented 100 TB trade). Env-overridable so a
+#: cluster with real aggregate storage can raise it.
+_INV_CKPT_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_INV_CKPT_MAX_BYTES", str(8 << 30))
+)
+
+
+def _maybe_checkpoint_inventory(src: DataFrame, occ: DataFrame) -> DataFrame:
+    """Size-gated tracked localCheckpoint of a gram inventory.
+
+    ``occ`` (the (id, pos, hash) occurrence stream derived from
+    ``src``) is consumed twice by the dup-test + semi-join shape; at
+    bench/fixture scale re-deriving it costs a full second
+    scan + posexplode + window pass (27.1 task-CPU-s at sf0.1 — the #4
+    CPU burner in the r12 bench ledger). Below the gate the inventory
+    is materialized once; above it the relation is returned unchanged
+    and the caller's two-pass plan stands. The gate reads the SOURCE
+    relation's Catalyst size estimate — plan-time, no extra job.
+    """
+    try:
+        est = int(
+            str(
+                src._jdf.queryExecution()  # noqa: SLF001
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:  # stats unavailable — keep the safe two-pass shape
+        return occ
+    if est > _INV_CKPT_MAX_BYTES:
+        return occ
+    from .lifecycle import tracked_local_checkpoint
+
+    return tracked_local_checkpoint(occ)
 
 
 def norm_tokens(text: Column | str) -> Column:
@@ -173,7 +218,13 @@ def duplicated_spans(
     # duplication is tested on the gram's 64-bit hash, never the
     # string (collision risk 2^-64 per pair — the standard trade), so
     # the codegen hash-gram path applies: no gram strings anywhere.
-    occ = gram_hash_occurrences(df, id_col=id_col, text_col=text_col, k=k)
+    # The inventory is consumed twice (dup test + semi-join back);
+    # below the size gate it is checkpointed so documents are scanned
+    # and exploded ONCE (r13, guide §2.4/§5 — see
+    # :func:`_maybe_checkpoint_inventory` for the 100 TB trade).
+    occ = _maybe_checkpoint_inventory(
+        df, gram_hash_occurrences(df, id_col=id_col, text_col=text_col, k=k)
+    )
     dup = (
         occ.groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -410,13 +410,23 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load(spark, "documents", sf_dir), "doc_id")
     w = docs.select(Q.words(F.lower(F.col("text"))).alias("w"))
-    # ONE tokenize + ONE exchange for BOTH count tables (r12, guide
-    # §2.4): the previous unigram and bigram branches each re-ran the
-    # scan + tokenizer (different grouping keys = two exchanges with
-    # no shared materialization — Spark has no DAG-level CSE). A
-    # tagged explode (kind 1 = unigram, kind 2 = bigram) feeds one
-    # map-side-combined groupBy; every consumer below (ucnt twice,
-    # bcnt, both totals) reads that single exchange via ReusedExchange.
+    # ONE tokenize pass for BOTH count tables (r13, guide §2.4/§5).
+    # The r12 attempt fed a tagged explode (kind 1 = unigram, kind 2 =
+    # bigram) into one groupBy(kind, term) and hoped every consumer
+    # would share that exchange via ReusedExchange — it never fired:
+    # the k==1/k==2 consumer filters push BELOW the aggregate, so each
+    # of the five consumers built a structurally different subtree and
+    # re-ran scan + tokenize + struct-wrap from source (committed
+    # after-plan: 5 scans / 12 exchanges / 0 ReusedExchange; driver
+    # measured 1.42 → 2.10 s). The sharing is now REAL: the tagged
+    # counts relation — one narrow (k, term, c) row per DISTINCT
+    # term/bigram, far smaller than the corpus at any SF (Heaps' law;
+    # distributed MEMORY_AND_DISK blocks, never the driver) — is
+    # materialized behind a tracked localCheckpoint, so the corpus is
+    # scanned and tokenized exactly once and all five consumers (ucnt
+    # ×2, bcnt, both totals) are cheap scans of the checkpointed
+    # blocks. Released by the caller via lifecycle.release_checkpoints
+    # after results materialize, as with every tracked checkpoint.
     # explode_outer + IS NOT NULL: plain explode would let
     # InferFiltersFromGenerate inline the whole tokenizer chain into a
     # scan-side size() filter, re-evaluated per row (NOTES.md trap).
@@ -442,7 +452,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("e").isNotNull())
         .select("e.k", "e.t")
     )
-    counts = tagged.groupBy("k", "t").agg(F.count(F.lit(1)).alias("c"))
+    from ..operators.lifecycle import tracked_local_checkpoint
+
+    counts = tracked_local_checkpoint(
+        tagged.groupBy("k", "t").agg(F.count(F.lit(1)).alias("c"))
+    )
     ucnt = counts.filter(F.col("k") == 1).select(
         F.col("t").alias("term"), "c"
     )
