@@ -382,6 +382,17 @@ def _jaccard_score_fn(threshold: float, id_np: str):
                 )
                 codes, uniques = pd.factorize(flat)
                 vsize = len(uniques)
+                # a None/NaN token factorizes to code -1, and the
+                # scatter below would silently write vocab column -1
+                # (the LAST column), corrupting intersection counts —
+                # fail loudly instead (ADVICE r12; array_distinct
+                # upstream preserves a null element, so this is
+                # reachable if a caller ever feeds null tokens)
+                if codes.size and codes.min() < 0:
+                    raise ValueError(
+                        "jaccard kernel: null token in a packed token "
+                        "set — filter nulls in the packing projection"
+                    )
                 # float32 incidence, NOT int32: numpy integer matmul
                 # has no BLAS path (a naive triple loop — measured
                 # 99.8 s vs 1.3 s on a 1500×1500×30k-vocab cell), while

@@ -40,10 +40,19 @@ def connected_components(
     sym = tracked_local_checkpoint(
         # every propagation round joins sym; without a checkpoint the
         # edge producer (e.g. a blocked-matmul similarity stage)
-        # re-executes per round (measured 20 s -> ~6 s at sf0.1)
+        # re-executes per round (measured 20 s -> ~6 s at sf0.1).
+        # The dedup aggregate runs OVER a repartition("v") (r13, guide
+        # §2.4): hashpartitioning(v) satisfies the (u, v) dedup's
+        # clustering (v ⊆ keys) AND is exactly the per-round join's
+        # requirement — localCheckpoint preserves the physical
+        # partitioning in its LogicalRDD, so every propagation round
+        # shuffles only the LABEL table while the edge list (the big
+        # side at corpus scale) stays put. One exchange at build,
+        # diameter-many edge-list shuffles gone.
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+        .repartition("v")
+        .dropDuplicates(["u", "v"])
     )
     labels = tracked_local_checkpoint(
         sym.select(F.col("u").alias("vertex"))
@@ -53,7 +62,7 @@ def connected_components(
     )
 
     labels_cp = labels  # raw checkpoint handle for early release
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["v"] == labels["vertex"])
             .groupBy(F.col("u").alias("vertex"))
@@ -87,6 +96,9 @@ def connected_components(
         labels_cp = new_cp
         labels = new_cp.select("vertex", "label")
         if changed == 0:
+            # measurement hook (r13): rounds-to-convergence, readable
+            # by benchmarks/tests without changing the return type
+            connected_components.last_rounds = _round + 1
             release_df(sym)  # the returned labels no longer need sym
             return labels.select("vertex", F.col("label").alias("component"))
     raise RuntimeError(f"did not converge in {max_iterations} iterations")

@@ -85,6 +85,13 @@ def exact_dedup(df: DataFrame, columns: Sequence[str] | None = None) -> DataFram
 # ANSI overflow checking (Spark 4 default).
 _MERSENNE = (1 << 31) - 1
 
+#: ceiling (bytes, estimated as docs × (8·num_hashes + struct slack))
+#: under which the per-doc signature relation is BROADCAST into the
+#: post-candidate join instead of shuffle-joined. 64 MiB matches the
+#: session's autoBroadcastJoinThreshold; the checkpointed relation has
+#: no Catalyst stats, so the planner would never broadcast it unaided.
+_SIG_BROADCAST_MAX_BYTES = 64 << 20
+
 
 def _rand_coeffs(n: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for universal hashing, via a simple
@@ -152,13 +159,14 @@ def minhash_signature(hash_col, num_hashes: int = 64, seed: int = 42) -> "F.Colu
     )
 
 
-def _minhash_band_rows(
+def _minhash_doc_rows(
     id_field, k: int, num_hashes: int, bands: int, seed: int,
     with_new: bool = False,
 ):
-    """mapInArrow worker: (id, text) batches -> one row per (doc,
-    band): (id, sig array<long>, band, band_hash) (+ the pass-through
-    ``is_new`` flag when ``with_new``, for incremental mode).
+    """mapInArrow worker: (id, text, fp) batches -> ONE row per
+    document: (id, fp, sig array<long>, bhs array<long>) (+ the
+    pass-through ``is_new`` flag when ``with_new``, for incremental
+    mode). ``bhs[band]`` is the band's bucket hash.
 
     Vectorized numpy per document: shingle the token list, crc32 each
     shingle (deterministic across workers/runs, unlike PYTHONHASHSEED
@@ -167,13 +175,15 @@ def _minhash_band_rows(
     same arithmetic as interpreted Catalyst higher-order functions,
     and with none of their janino codegen cost on first run.
 
-    The band fan-out is assembled as Arrow arrays directly (r12,
-    guide §4.2): the previous pandas path appended one Python list of
-    64 longs per (doc, band) row and paid the object-column →
-    Arrow conversion on every batch — measured ~50% of the whole
-    sketch kernel. Now the per-doc signature matrix is row-repeated
-    with one np.repeat and wrapped as a ListArray over uniform
-    offsets; values, row order, and dtypes are identical.
+    The (doc, band) fan-out moved OUT of the kernel (r13, guide
+    §2.3): band rows are now a JVM-side ``posexplode`` of the per-doc
+    band-hash array, so the bucket exchange carries only (id, fp,
+    band, band_hash) — the 64-long signature previously rode every
+    one of the ``bands`` copies of each doc through that shuffle
+    (16× replication of the widest column, 30.7 task-CPU-s at sf0.1).
+    Signatures now cross the cluster once, attached post-candidate in
+    :func:`minhash_near_duplicates`. Signature values, band hashes,
+    and dtypes are bit-identical to the fan-out kernel's.
     """
     import zlib
 
@@ -191,6 +201,15 @@ def _minhash_band_rows(
             n = rb.num_rows
             if n == 0:
                 continue
+            # int32 list offsets hold n·num_hashes values — raise
+            # loudly instead of overflowing if a session ever pairs a
+            # giant arrow batch size with a huge signature width
+            # (ADVICE r12: the guard used to be a comment)
+            if n * max(num_hashes, bands) >= 1 << 31:
+                raise ValueError(
+                    "arrow batch too large for int32 list offsets: "
+                    f"{n} rows x {num_hashes} hashes"
+                )
             texts = rb.column("text").to_pylist()
             sig_rows = np.empty((n, num_hashes), dtype=np.int64)
             band_hashes = np.empty((n, bands), dtype=np.int64)
@@ -215,36 +234,30 @@ def _minhash_band_rows(
                     band_hashes[i, band] = zlib.crc32(
                         sig[band * rpb : (band + 1) * rpb].tobytes()
                     )
-            values = np.repeat(sig_rows, bands, axis=0).ravel()
-            # int32 offsets: n·bands·num_hashes stays far below 2^31
-            # for any sane Arrow batch (10k rows → 10.2M values)
-            offsets = np.arange(n * bands + 1, dtype=np.int32) * num_hashes
             sig_arr = pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int32()),
-                pa.array(values, type=pa.int64()),
-            )
-            # arrow repeat via take: preserves the input id dtype
-            # (long OR string) without a numpy round-trip
-            fanout = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
-            cols = [
-                rb.column("id").take(fanout),
-                rb.column("fp").take(fanout),
-                sig_arr,
                 pa.array(
-                    np.tile(np.arange(bands, dtype=np.int32), n),
+                    np.arange(n + 1, dtype=np.int32) * num_hashes,
+                    type=pa.int32(),
+                ),
+                pa.array(sig_rows.ravel(), type=pa.int64()),
+            )
+            bhs_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(n + 1, dtype=np.int32) * bands,
                     type=pa.int32(),
                 ),
                 pa.array(band_hashes.ravel(), type=pa.int64()),
-            ]
-            names = ["id", "fp", "sig", "band", "band_hash"]
+            )
+            cols = [rb.column("id"), rb.column("fp"), sig_arr, bhs_arr]
+            names = ["id", "fp", "sig", "bhs"]
             if with_new:
-                cols.append(rb.column("is_new").take(fanout))
+                cols.append(rb.column("is_new"))
                 names.append("is_new")
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     schema = (
         f"id {id_field.dataType.simpleString()}, fp long, sig array<long>, "
-        "band int, band_hash long"
+        "bhs array<long>"
     )
     if with_new:
         schema += ", is_new boolean"
@@ -272,17 +285,19 @@ def minhash_near_duplicates(
     ``new_col``: only pairs with at least one NEW member are emitted,
     and the result equals the full output filtered to those pairs
     (``tests/test_dedup.py`` pins that equivalence). Plan-level, not a
-    post-filter: the batch is re-sketched alone (cheap — the batch is
-    small by premise) to get its band-bucket keys, the corpus'
-    banded rows are left-semi pruned by that key set BEFORE the bucket
-    shuffle (broadcasts when the batch is small — the corpus inventory
-    is filtered map-side, never shuffled), old×old comparisons are
-    rejected inside the bucket-local pair kernel, and all-old
-    exact-dup star groups are dropped at the aggregate.
+    post-filter: the batch's band-bucket keys come from an ``is_new``
+    filter of the checkpointed sketch (no second sketch stage), the
+    corpus' banded rows are left-semi pruned by that key set BEFORE
+    the bucket shuffle (broadcasts when the batch is small — the
+    corpus inventory is filtered map-side, never shuffled), old×old
+    comparisons are rejected inside the bucket-local pair kernel, and
+    all-old exact-dup star groups are dropped at the aggregate.
 
-    Pipeline: shingle -> signature -> band hashes (one Arrow-batched
-    mapInPandas stage, see :func:`_minhash_band_rows`) -> repartition
-    on the band bucket -> bucket-local pair generation -> Jaccard
+    Pipeline: shingle -> signature -> band hashes (ONE Arrow-batched
+    per-doc sketch stage, see :func:`_minhash_doc_rows`, materialized
+    behind a tracked localCheckpoint) -> JVM-side band explode ->
+    repartition on the band bucket -> bucket-local candidate
+    selection -> signatures joined back onto candidates -> Jaccard
     estimate from full signatures -> filter.
 
     Returns (id_a, id_b, jaccard_est) with id_a < id_b — a
@@ -325,11 +340,14 @@ def minhash_near_duplicates(
       remains the bucket's inherent O(g^2/2), just bounded per task.
 
     Scale: the only shuffles are an up-front spread of the input, ONE
-    repartition on (band, band_hash) — the fp-collapse and blocking
-    windows and the block groupBy all reuse that partitioning (their
-    keys are supersets) — the narrow (fp, id) star aggregate/join,
-    and the final pair dedup; candidate pairs are band-local so cost
-    tracks true-duplicate density, not n^2.
+    narrow repartition on (band, band_hash) — the fp-collapse and
+    blocking windows reuse that partitioning (their keys are
+    supersets) — the post-candidate signature join (signatures move
+    ONCE, vs riding all ``bands`` fan-out copies through the bucket
+    shuffle pre-r13), the block groupBy over candidate rows, the
+    narrow (fp, id) star aggregate/join, and the final pair dedup;
+    candidate pairs are band-local so cost tracks true-duplicate
+    density, not n^2.
 
     Sketching is CPU-bound, not IO-bound: parallelism must track
     cores, not input bytes. A small input (one parquet row group)
@@ -359,38 +377,47 @@ def minhash_near_duplicates(
     if new_col:
         src_cols.append(F.col(new_col).cast("boolean").alias("is_new"))
     src = spread(df, id_col, target=num_partitions).select(*src_cols)
-    fn, schema = _minhash_band_rows(
+    fn, schema = _minhash_doc_rows(
         src.schema["id"], k, num_hashes, bands, seed, with_new=bool(new_col)
     )
-    banded = src.mapInArrow(fn, schema)
+    # ONE sketch pass, materialized (r13, guide §2.3/§2.4): the
+    # per-doc sketch relation — (id, fp, 64-long sig, band hashes),
+    # ~0.6 KB/doc, a small fraction of the text it summarizes,
+    # distributed MEMORY_AND_DISK — is read by the band explode, the
+    # star-pair branch, the post-candidate signature join, and (in
+    # incremental mode) the new-key prune. Without the checkpoint
+    # each consumer would re-run the whole Python sketch (exchange
+    # reuse never matches re-aliased subtrees); with it the corpus is
+    # scanned ONCE (the star branch previously paid a second full
+    # text scan) and the bucket shuffle sheds the signature column.
+    # Tracked: callers release via lifecycle.release_checkpoints once
+    # results are materialized, like every checkpoint in this repo.
+    from .lifecycle import tracked_local_checkpoint
+
+    sk = tracked_local_checkpoint(src.mapInArrow(fn, schema))
+
+    new_cols = ["is_new"] if new_col else []
+    banded = sk.select(
+        "id", "fp", *new_cols,
+        F.posexplode("bhs").alias("band", "band_hash"),
+    )
     if new_col:
         # Incremental band prune: a qualifying pair shares a band
         # bucket with a NEW doc, so corpus rows outside the batch's
-        # bucket-key set provably pair nothing. The keys come from a
-        # SECOND sketch over the batch alone — deliberately not a
-        # filter fork off `banded` (that would re-run the full-corpus
-        # sketch twice; re-sketching just the small batch is the cheap
-        # side of that trade at any scale).
-        nfn, nschema = _minhash_band_rows(
-            src.schema["id"], k, num_hashes, bands, seed
-        )
+        # bucket-key set provably pair nothing. The keys are a filter
+        # of the SAME checkpointed sketch (the pre-r13 shape paid a
+        # second mapInArrow sketch over the batch to avoid forking the
+        # un-materialized corpus sketch — moot now).
         new_keys = (
-            src.filter(F.col("is_new"))
-            .drop("is_new")
-            .mapInArrow(nfn, nschema)
-            .select("band", "band_hash")
+            sk.filter(F.col("is_new"))
+            .select(F.posexplode("bhs").alias("band", "band_hash"))
             .distinct()
         )
         banded = banded.join(new_keys, ["band", "band_hash"], "left_semi")
 
-    # Star pairs come from a SEPARATE (id, fp) pass over the source —
-    # text is hashed in the scan project and never shuffled, and the
-    # expensive sketch stage is not forked (a fork off `banded` would
-    # re-run the whole MapInPandas sketch for the star branch: Spark's
-    # exchange reuse does not match the re-aliased twin subtree).
-    fp_ids = src.select(
-        "id", "fp", *( ["is_new"] if new_col else [] )
-    )
+    # Star pairs read the checkpointed sketch too — no second corpus
+    # scan, no sketch fork.
+    fp_ids = sk.select("id", "fp", *new_cols)
     rep_aggs = [F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n")]
     if new_col:
         # the representative's own flag (min_by id) + whether the
@@ -414,8 +441,11 @@ def minhash_near_duplicates(
         F.lit(1.0).alias("jaccard_est"),
     )
 
-    # ONE exchange on the bucket key; every window/groupBy below keys
-    # on a superset of (band, band_hash) and reuses this partitioning.
+    # ONE narrow exchange on the bucket key — (id, fp, band,
+    # band_hash) only, the signature column stays out of the fan-out
+    # (r13; it was 16× replicated here before). The collapse and
+    # blocking windows key on supersets of (band, band_hash) and
+    # reuse this partitioning.
     bucketed = banded.repartition("band", "band_hash")
 
     # Exact-duplicate collapse: one representative per text
@@ -440,6 +470,20 @@ def minhash_near_duplicates(
         )
         .withColumn("chunk", ((F.col("rn") - 1) % F.col("nchunks")).cast("int"))
     )
+    # Attach signatures to CANDIDATE rows only (r13, guide §2.3
+    # "shuffle keys and metadata instead of payloads"): ``kept`` holds
+    # the band rows that survived the fp-collapse in a bucket with ≥2
+    # distinct texts — usually a small fraction of the fan-out. The
+    # per-doc sig relation reads the checkpoint (never re-sketches);
+    # it is broadcast when provably small (one cheap count over the
+    # checkpoint blocks — the size_gated_broadcast pattern), else a
+    # shuffle join that still moves each signature once instead of
+    # ``bands`` times.
+    sig_rel = sk.select("id", "sig")
+    sig_bytes = sk.count() * (num_hashes * 8 + 32)
+    if sig_bytes <= _SIG_BROADCAST_MAX_BYTES:
+        sig_rel = F.broadcast(sig_rel)
+    kept = kept.join(sig_rel, "id")
     assignments = F.concat(
         F.transform(
             F.sequence(F.col("chunk"), F.col("nchunks") - 1),
@@ -478,7 +522,7 @@ def minhash_near_duplicates(
         .filter(F.size("ms") > 1)
     )
 
-    id_type = banded.schema["id"].dataType.simpleString()
+    id_type = sk.schema["id"].dataType.simpleString()
     incremental = new_col is not None
 
     def pair_fn(batches):

@@ -782,6 +782,94 @@ def grouped_rank_stats(
     return t.drop("__pid", "__goff", "__gn")
 
 
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    value_col: str,
+    ps: Sequence[float],
+    *,
+    out_cols: Sequence[str],
+    buckets_per_core: int = 4,
+) -> DataFrame:
+    """One row per group: ``out_cols[i]`` = exact
+    ``percentile(value_col, ps[i])`` — WITHOUT per-group value
+    buffers.
+
+    Spark's exact ``Percentile`` aggregate buffers EVERY value of a
+    group in one ObjectHashAggregate buffer; partitioned by a
+    low-cardinality key (return flag, language) that is an unbounded
+    single-buffer sort at corpus scale — the same pathology
+    :func:`ntile_exact_grouped` removes for window ntile. Here the
+    percentile is reproduced from exact order statistics instead:
+
+    1. per-group global row numbers + group sizes from
+       :func:`grouped_rank_stats` (count-balanced range buckets over
+       the VALUE, per-(group, bucket) offsets — every stage n/p per
+       task, state bounded by bucket size);
+    2. for each requested ``p``, only the one or two rows at the
+       interpolation ranks ``floor/ceil(p·(n−1))`` survive a filter;
+    3. a final tiny per-group aggregate (O(groups × |ps|) rows) picks
+       the boundary values and interpolates.
+
+    The interpolation reproduces ``Percentile.getPercentile``'s
+    arithmetic term for term — ``(higher − pos)·v_lo + (pos −
+    lower)·v_hi`` on doubles (NOT the algebraically equal ``v_lo +
+    (v_hi − v_lo)·frac``, which differs in the last ulp) — pinned by
+    ``tests/test_quantiles.py`` against ``F.percentile`` itself, so
+    swapping a query onto this operator cannot move its oracle hash.
+
+    Contracts: ``value_col`` numeric and NULL/NaN-free (Percentile
+    skips NULLs; this operator refuses them loudly via the range-id
+    probe, same as every operator in this module), group keys
+    NULL-safe (rank machinery handles NULL groups), ties in the value
+    are interchangeable at equal rank (equal values — interpolation
+    result identical regardless of which tied row takes which rank).
+    """
+    if len(ps) != len(out_cols) or not ps:
+        raise ValueError("grouped_exact_percentiles: |ps| must equal |out_cols| >= 1")
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile {p} outside [0, 1]")
+    gks = list(group_keys)
+    t = grouped_rank_stats(
+        df.select(*gks, value_col),
+        gks,
+        [value_col],
+        row_number_col="__rn",
+        n_col="__n",
+        buckets_per_core=buckets_per_core,
+    )
+    # 0-based rank + the interpolation positions for every p; a row
+    # survives iff it sits AT some p's floor or ceil rank. All pure
+    # row-local arithmetic on (__rn, __n) — no extra shuffle before
+    # the final tiny aggregate.
+    i0 = (F.col("__rn") - 1).cast("double")
+    keep = F.lit(False)
+    for p in ps:
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        keep = keep | (i0 == F.floor(pos)) | (i0 == F.ceil(pos))
+    picked = t.filter(keep).select(
+        *gks,
+        i0.alias("__i"),
+        F.col("__n").alias("__gn2"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    aggs = []
+    for p, out in zip(ps, out_cols):
+        pos = F.lit(float(p)) * (F.col("__gn2") - 1).cast("double")
+        v_lo = F.max(F.when(F.col("__i") == F.floor(pos), F.col("__v")))
+        v_hi = F.max(F.when(F.col("__i") == F.ceil(pos), F.col("__v")))
+        pos0 = F.lit(float(p)) * (F.max("__gn2") - 1).cast("double")
+        aggs.append(
+            F.when(F.ceil(pos0) == F.floor(pos0), v_lo)
+            .otherwise(
+                (F.ceil(pos0) - pos0) * v_lo + (pos0 - F.floor(pos0)) * v_hi
+            )
+            .alias(out)
+        )
+    return picked.groupBy(*gks).agg(*aggs)
+
+
 def ntile_exact_grouped(
     df: DataFrame,
     group_keys: Sequence[str],

@@ -251,8 +251,9 @@ def incremental_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame
     >=1-new-member pairs is pinned in tests/test_dedup.py): today's
     batch (the deterministic doc_id % 10 == 0 slice) deduped against
     the standing corpus without re-pairing the corpus with itself.
-    The batch is re-sketched alone for its band-key set, the corpus'
-    banded rows are semi-join pruned map-side, and old x old
+    The batch's band-key set is an ``is_new`` filter of the one
+    checkpointed sketch (r13 — previously a second sketch stage), the
+    corpus' banded rows are semi-join pruned map-side, and old x old
     comparisons die inside the bucket kernel
     (operators/dedup.py::minhash_near_duplicates ``new_col``)."""
     docs = load(spark, "documents", sf_dir).withColumn(

@@ -258,11 +258,21 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingling itself is one Arrow-batched mapInPandas stage
     (vectorized split + set per doc — the same pattern that took the
     MinHash sketch from 22s to 1.4s) emitting exploded, per-doc
-    DISTINCT ``(doc_id, g)`` bigram rows. The ``%97`` eval/train split
-    is applied BELOW the Python stage, so each branch gets its own
-    pushed-down parquet filter and every document is shingled exactly
-    once — no shared stage to recompute, no Exchange-reuse barrier
-    needed.
+    DISTINCT ``(doc_id, gh)`` bigram rows, where ``gh`` is the
+    bigram's 64-bit hash (r13, guide §4.2/§2.3): the downstream
+    compare is pure set membership, so the gram STRING never needs to
+    leave the kernel — the per-doc distinct, the corpus shuffle, and
+    the eval-side broadcast all ride 8-byte ints instead of object
+    strings (the per-doc ``drop_duplicates`` on object strings was the
+    residual kernel cost after the r12 vectorization, 17.1 task-CPU-s
+    at sf0.1). Hash identity is the same 2⁻⁶⁴-per-pair fingerprint
+    trade ``duplicated_spans`` documents (pandas ``hash_array`` —
+    deterministic fixed-key siphash, process-independent); the oracle
+    joins true strings and hash-matches at sf0.001/0.01/0.1. The
+    ``%97`` eval/train split is applied BELOW the Python stage, so
+    each branch gets its own pushed-down parquet filter and every
+    document is shingled exactly once — no shared stage to recompute,
+    no Exchange-reuse barrier needed.
     """
     src = load(spark, "documents", sf_dir).select("doc_id", "text")
 
@@ -272,9 +282,11 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # through a genexpr + dict insert each. pandas .str ops keep
         # Python's exact strip/lower/split semantics; the bigram
         # stream is one shifted elementwise concat over the batch's
-        # flattened word stream (doc boundaries masked out), and the
-        # per-doc distinct is a stable drop_duplicates — same
-        # first-kept gram set per doc as dict.fromkeys.
+        # flattened word stream (doc boundaries masked out), hashed to
+        # int64 in the same pass, and the per-doc distinct is a stable
+        # drop_duplicates over (int, int) pairs — the same gram SET
+        # per doc as dict.fromkeys over strings, up to 64-bit
+        # collisions (2⁻⁶⁴/pair, see docstring).
         import numpy as np
         import pandas as pd
 
@@ -295,15 +307,16 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             same = rep[:-1] == rep[1:]
             grams = (flat[:-1][same] + " ") + flat[1:][same]
+            gh = pd.util.hash_array(grams).view(np.int64)
             yield pd.DataFrame(
-                {"doc_id": rep[:-1][same], "g": grams}
+                {"doc_id": rep[:-1][same], "gh": gh}
             ).drop_duplicates()
 
-    schema = "doc_id bigint, g string"
+    schema = "doc_id bigint, gh bigint"
     ev = (
         spread(src.filter(F.col("doc_id") % 97 == 0), "doc_id")
         .mapInPandas(bigrams_fn, schema)
-        .select("g")
+        .select("gh")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
@@ -313,7 +326,7 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigrams_fn, schema
     )
     agg = (
-        tr.join(F.broadcast(ev), "g", "left")
+        tr.join(F.broadcast(ev), "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),

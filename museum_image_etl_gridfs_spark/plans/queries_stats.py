@@ -311,23 +311,31 @@ def mad_outlier_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fence expression multiplies in the same literal order on both
     engines, so the comparison is bit-identical.
 
-    Scale shape: two grouped exact percentiles over a 3-group key —
-    each group's values are buffered by the ObjectHashAggregate
-    percentile; at 100 TB swap in ``approx_percentile`` (same plan
-    shape, bounded memory) — the medians/MAD table itself is tiny and
-    broadcast back onto the fact for the fence count.
+    Scale shape (r13, guide §5 — no unbounded value buffers): both
+    medians run through ``grouped_exact_percentiles``, the
+    distributed order-statistics machinery — exact per-group ranks
+    over count-balanced range buckets, then interpolation between the
+    two boundary rows, arithmetic-identical to Spark's ``Percentile``
+    (pinned by tests/test_quantiles.py). The previous shape buffered
+    EVERY value of a return flag in one ObjectHashAggregate
+    percentile buffer — 1/3 of the corpus per aggregation buffer at
+    100 TB. The medians/MAD table itself is tiny and broadcast back
+    onto the fact for the fence count.
     """
+    from ..operators.quantiles import grouped_exact_percentiles
+
     q = load(spark, "lineitem", sf_dir).select(
         "l_returnflag", F.col("l_quantity").cast("double").alias("qty")
     )
-    med = q.groupBy("l_returnflag").agg(
-        F.percentile("qty", F.lit(0.5)).alias("med_qty")
+    med = grouped_exact_percentiles(
+        q, ["l_returnflag"], "qty", [0.5], out_cols=["med_qty"]
     )
     dev = q.join(F.broadcast(med), "l_returnflag").withColumn(
         "d", F.abs(F.col("qty") - F.col("med_qty"))
     )
-    mad = dev.groupBy("l_returnflag").agg(
-        F.percentile("d", F.lit(0.5)).alias("mad_qty")
+    mad = grouped_exact_percentiles(
+        dev.select("l_returnflag", "d"), ["l_returnflag"], "d", [0.5],
+        out_cols=["mad_qty"],
     )
     return (
         dev.join(F.broadcast(mad), "l_returnflag")
@@ -709,6 +717,14 @@ def near_dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the carried list — no corpus-sized re-join at the end. Same
     # storage contract as the simjoin: callers release via
     # lifecycle.release_checkpoints after materializing.
+    # Memory ceiling (ADVICE r12): the member list rides ONE
+    # aggregation buffer per (source, fp) group, so a degenerate
+    # corpus where millions of docs share one exact token-set puts
+    # that whole group's ids in a single row — bounded by the largest
+    # exact-duplicate cluster, not the corpus. A corpus beyond that
+    # ceiling should pre-collapse exact dups (the production ordering
+    # this query itself documents) or re-join membership by
+    # fingerprint instead of carrying it.
     groups = tracked_local_checkpoint(
         toks.groupBy("source", "fp").agg(
             F.min("doc_id").alias("rep_id"),

@@ -20,6 +20,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Spark-4 package path of the fork-free checkpoint manager (see the
+#: inline rationale in :func:`get_spark`). A Spark upgrade that moves
+#: the class would silently fall back to the forking FileContext
+#: manager if this string rotted — tests/test_streaming.py pins that
+#: the configured class actually RESOLVES in the running JVM.
+DEFAULT_CKPT_FM = (
+    "org.apache.spark.sql.execution.streaming.checkpointing."
+    "FileSystemBasedCheckpointFileManager"
+)
+
+
+def ckpt_fm_class() -> str:
+    """Checkpoint-manager class for this session: the
+    ``SPARK_GRAFT_CKPT_FM`` env override (HDFS/object-store
+    deployments configure a store-specific manager) or the fork-free
+    local default."""
+    return os.environ.get("SPARK_GRAFT_CKPT_FM", DEFAULT_CKPT_FM)
+
 
 def get_spark(
     app_name: str = "museum_image_etl_gridfs_spark",
@@ -68,11 +86,7 @@ def get_spark(
         # configure a store-specific manager anyway).
         .config(
             "spark.sql.streaming.checkpointFileManagerClass",
-            os.environ.get(
-                "SPARK_GRAFT_CKPT_FM",
-                "org.apache.spark.sql.execution.streaming.checkpointing."
-                "FileSystemBasedCheckpointFileManager",
-            ),
+            ckpt_fm_class(),
         )
     )
     if extra_conf:

@@ -65,25 +65,42 @@ def test_minhash_has_no_barrier_on_presplit_input(spark, sf_dir, tmp_path):
     )
     plan = _physical(pairs)
     # exactly ONE repartition exchange — the deliberate (band,
-    # band_hash) bucket barrier; the fp-collapse window, the blocking
-    # windows and the block-task groupBy all reuse it (superset keys).
-    # No up-front repartition of (id, text): the sketch MapInPandas
-    # sits directly on the FileScan, and it appears exactly ONCE (the
-    # exact-dup star branch must not fork/re-run the sketch).
+    # band_hash) bucket barrier; the fp-collapse and blocking windows
+    # reuse it (superset keys). The sketch itself no longer appears in
+    # the final plan at all: it ran EXACTLY ONCE into the tracked
+    # localCheckpoint at build time (r13), and every consumer — the
+    # band explode, the star branch, the post-candidate signature
+    # join — is a Scan ExistingRDD of those blocks. No up-front
+    # repartition of (id, text) on a pre-split input: spread() saw a
+    # wide scan and added nothing, so the sketch inherited the scan's
+    # splits (pinned structurally: a REPARTITION_BY_NUM here would
+    # survive into the checkpointed lineage; see the coalesce(1)
+    # branch below where it must appear).
     assert plan.count("REPARTITION_BY_COL") == 1
-    assert plan.count("MapInArrow fn(") == 1
-    # remaining exchanges are all narrow: the (fp, id) star aggregate
-    # + its join side, and the final pair dedup
-    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "MapInArrow" not in plan
+    # 4 block reads: band explode, star aggregate, star join side,
+    # signature join — each a Scan ExistingRDD, never a re-sketch
+    assert plan.count("Scan ExistingRDD") == 4
+    # the signature column must NOT ride the band fan-out through the
+    # bucket exchange: the projection feeding REPARTITION_BY_COL
+    # carries only (id, fp, band, band_hash)
+    pre_exchange = plan[: plan.index("REPARTITION_BY_COL")]
+    fanout_project = pre_exchange[pre_exchange.rindex("Project") :]
+    assert "sig" not in fanout_project
+    # remaining exchanges are narrow: the star aggregate + join side,
+    # the signature join, the block groupBy, and the final pair dedup
+    assert plan.count("Exchange hashpartitioning") <= 6
 
-    # and on the single-file fixture the spread barrier IS present
-    # (spread passes an explicit partition count -> REPARTITION_BY_NUM;
-    # it shows once per branch of the star-pair fork)
+    # on the single-file fixture the spread barrier IS present inside
+    # the sketch's (checkpointed) lineage — the final plan cannot show
+    # it, so pin it on the pre-checkpoint relation: a 1-partition
+    # input must leave minhash's Python stage spread across cores
     one = load(spark, "documents", sf_dir).select("doc_id", "text").coalesce(1)
+    spread_one = spread(one, "doc_id")
+    assert "REPARTITION_BY_NUM" in _physical(spread_one)
     plan_one = _physical(
         minhash_near_duplicates(
             one, "doc_id", "text", k=5, num_hashes=32, bands=8, min_jaccard=0.4
         )
     )
-    assert plan_one.count("REPARTITION_BY_NUM") >= 1
     assert plan_one.count("REPARTITION_BY_COL") == 1

@@ -594,3 +594,76 @@ def test_grouped_running_totals_null_group_keys_kept(spark):
         acc[g] += v
         want[(g, i)] = acc[g]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# grouped_exact_percentiles: bit-exact vs Spark's Percentile aggregate
+# ---------------------------------------------------------------------------
+
+
+def _assert_percentiles_match(spark, df, gks, col, ps):
+    """The operator must reproduce F.percentile BIT-exactly (same
+    interpolation arithmetic) — equality on raw doubles, no round()."""
+    from museum_image_etl_gridfs_spark.operators.quantiles import (
+        grouped_exact_percentiles,
+    )
+
+    outs = [f"p{i}" for i in range(len(ps))]
+    got = {
+        tuple(r[g] for g in gks): [r[o] for o in outs]
+        for r in grouped_exact_percentiles(
+            df, gks, col, ps, out_cols=outs
+        ).collect()
+    }
+    want = {
+        tuple(r[g] for g in gks): [r[o] for o in outs]
+        for r in df.groupBy(*gks)
+        .agg(
+            *[
+                F.percentile(col, F.lit(p)).alias(o)
+                for p, o in zip(ps, outs)
+            ]
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_grouped_percentile_median_matches_spark_exactly(spark):
+    # values chosen so (hi-pos)*lo + (pos-lo)*hi differs in the last
+    # ulp from lo + (hi-lo)*frac — catches interpolation-order drift
+    rows = [(f"g{i % 3}", 0.1 + 0.2 * ((i * 7) % 23), i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v double, id long").repartition(5)
+    _assert_percentiles_match(spark, df.select("g", "v"), ["g"], "v", [0.5])
+
+
+def test_grouped_percentile_multi_p_and_ties(spark):
+    # integral values with heavy ties (the l_quantity shape) + fences
+    rows = [(f"f{i % 2}", float((i * 13) % 7)) for i in range(301)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+    _assert_percentiles_match(
+        spark, df, ["g"], "v", [0.0, 0.05, 0.5, 0.95, 1.0]
+    )
+
+
+def test_grouped_percentile_single_row_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 3.7), ("b", 1.1)], "g string, v double"
+    )
+    _assert_percentiles_match(spark, df, ["g"], "v", [0.25, 0.5])
+
+
+def test_grouped_percentile_no_value_buffer_in_plan(spark):
+    """The plan must contain no Percentile aggregate (the per-group
+    value buffer the operator exists to remove)."""
+    from museum_image_etl_gridfs_spark.operators.quantiles import (
+        grouped_exact_percentiles,
+    )
+
+    rows = [(f"g{i % 3}", float(i % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+    out = grouped_exact_percentiles(df, ["g"], "v", [0.5], out_cols=["m"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()

@@ -277,3 +277,33 @@ def test_hourly_ohlc_matches_batch(spark, sf_dir):
         .withColumnRenamed("hour", "window_start")
     )
     _assert_same(got, want)
+
+
+def test_checkpoint_fm_default_class_resolves(spark):
+    """The session pins the fork-free FileSystem-based checkpoint
+    manager (r12: the FileContext default forks a `readlink` per
+    checkpoint file). The class lives at a Spark-4 package path — a
+    Spark upgrade that moved it would make streaming silently fall
+    back to the forking manager, so pin that the configured name
+    actually RESOLVES in the running JVM."""
+    from museum_image_etl_gridfs_spark.session import DEFAULT_CKPT_FM
+
+    name = spark.conf.get("spark.sql.streaming.checkpointFileManagerClass")
+    assert name == DEFAULT_CKPT_FM
+    klass = spark._jvm.java.lang.Class.forName(name)  # noqa: SLF001
+    assert klass.getName() == name
+
+
+def test_checkpoint_fm_env_override(monkeypatch):
+    """SPARK_GRAFT_CKPT_FM must round-trip into the session conf
+    (HDFS/object-store deployments configure a store-specific
+    manager); get_spark reads it through ckpt_fm_class()."""
+    from museum_image_etl_gridfs_spark.session import (
+        DEFAULT_CKPT_FM,
+        ckpt_fm_class,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_CKPT_FM", raising=False)
+    assert ckpt_fm_class() == DEFAULT_CKPT_FM
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_FM", "com.example.S3CkptManager")
+    assert ckpt_fm_class() == "com.example.S3CkptManager"
