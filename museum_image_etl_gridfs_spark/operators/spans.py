@@ -535,7 +535,11 @@ def substring_dedup_rewrite(
     """
     from ..partitioning import spread
 
-    occ = gram_hash_occurrences(df, id_col=id_col, text_col=text_col, k=k)
+    # same double-consumption shape as duplicated_spans (firsts
+    # aggregate + removals join) — same size-gated materialization
+    occ = _maybe_checkpoint_inventory(
+        df, gram_hash_occurrences(df, id_col=id_col, text_col=text_col, k=k)
+    )
     firsts = (
         occ.groupBy("__gh")
         .agg(

@@ -311,29 +311,33 @@ def mad_outlier_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fence expression multiplies in the same literal order on both
     engines, so the comparison is bit-identical.
 
-    Scale shape (r13, guide §5 — no unbounded value buffers): both
-    medians run through ``grouped_exact_percentiles``, the
-    distributed order-statistics machinery — exact per-group ranks
-    over count-balanced range buckets, then interpolation between the
-    two boundary rows, arithmetic-identical to Spark's ``Percentile``
-    (pinned by tests/test_quantiles.py). The previous shape buffered
-    EVERY value of a return flag in one ObjectHashAggregate
-    percentile buffer — 1/3 of the corpus per aggregation buffer at
-    100 TB. The medians/MAD table itself is tiny and broadcast back
-    onto the fact for the fence count.
+    Scale shape (r13, guide §5/§1.2): both medians run through
+    ``grouped_percentiles_auto`` — below the input-size gate this is
+    Spark's own exact ``Percentile`` aggregate (single pass; its
+    buffer is a value→count map, O(distinct values) per group — tiny
+    for the 50-value quantity domain — and the MEASURED-fastest exact
+    form: the pure rank-machinery variant ran 17 s + 71 s at sf1
+    where this shape runs ~6 s); above the gate it switches to
+    ``grouped_exact_percentiles``, the bounded-state distributed
+    order-statistics path for continuous value domains at corpus
+    scale. The two paths are bit-identical (interpolation arithmetic
+    pinned against ``F.percentile`` in tests/test_quantiles.py), so
+    the gate cannot move this query's oracle hash. The medians/MAD
+    table itself is tiny and broadcast back onto the fact for the
+    fence count.
     """
-    from ..operators.quantiles import grouped_exact_percentiles
+    from ..operators.quantiles import grouped_percentiles_auto
 
     q = load(spark, "lineitem", sf_dir).select(
         "l_returnflag", F.col("l_quantity").cast("double").alias("qty")
     )
-    med = grouped_exact_percentiles(
+    med = grouped_percentiles_auto(
         q, ["l_returnflag"], "qty", [0.5], out_cols=["med_qty"]
     )
     dev = q.join(F.broadcast(med), "l_returnflag").withColumn(
         "d", F.abs(F.col("qty") - F.col("med_qty"))
     )
-    mad = grouped_exact_percentiles(
+    mad = grouped_percentiles_auto(
         dev.select("l_returnflag", "d"), ["l_returnflag"], "d", [0.5],
         out_cols=["mad_qty"],
     )

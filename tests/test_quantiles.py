@@ -667,3 +667,43 @@ def test_grouped_percentile_no_value_buffer_in_plan(spark):
     out = grouped_exact_percentiles(df, ["g"], "v", [0.5], out_cols=["m"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "percentile" not in plan.lower()
+
+
+def test_grouped_percentiles_auto_gate_paths_agree(spark):
+    """The size gate must be output-invariant: buffer path (Percentile
+    aggregate) and machinery path produce identical raw doubles, and
+    the gate actually switches plans."""
+    from museum_image_etl_gridfs_spark.operators import quantiles as Q
+
+    rows = [(f"g{i % 3}", 0.1 + 0.2 * ((i * 11) % 19)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+
+    def run():
+        return {
+            r["g"]: (r["a"], r["b"])
+            for r in Q.grouped_percentiles_auto(
+                df, ["g"], "v", [0.25, 0.9], out_cols=["a", "b"]
+            ).collect()
+        }
+
+    # a createDataFrame source is a LogicalRDD: Catalyst estimates it
+    # Long.Max (no stats), so the DEFAULT gate conservatively picks the
+    # bounded machinery — force each side of the gate explicitly
+    mp = __import__("pytest").MonkeyPatch()
+    try:
+        mp.setattr(Q, "PCTL_BUFFER_MAX_BYTES", 1 << 63)
+        fast = run()
+        plan_fast = Q.grouped_percentiles_auto(
+            df, ["g"], "v", [0.5], out_cols=["m"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "percentile" in plan_fast.lower()  # below gate: buffer path
+
+        mp.setattr(Q, "PCTL_BUFFER_MAX_BYTES", -1)
+        slow = run()
+        plan_slow = Q.grouped_percentiles_auto(
+            df, ["g"], "v", [0.5], out_cols=["m"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "percentile" not in plan_slow.lower()  # above gate
+    finally:
+        mp.undo()
+    assert fast == slow

@@ -152,3 +152,50 @@ def test_gram_hash_occurrences_positions_match_string_path(spark):
     for key_a, g_a in s.items():
         for key_b, g_b in s.items():
             assert (g_a == g_b) == (h[key_a] == h[key_b]), (key_a, key_b)
+
+
+def test_inventory_checkpoint_gate_paths_agree(spark):
+    """duplicated_spans' size-gated inventory checkpoint (r13) must be
+    output-invariant: the checkpointed one-derivation path and the
+    above-gate two-pass path yield identical spans. Also pins that the
+    gate actually switches (checkpoint plan vs re-derivation plan)."""
+    from museum_image_etl_gridfs_spark.operators import spans as S
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon nine ten eleven"),
+        (3, "unrelated words entirely different content here now"),
+    ] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+
+    def run():
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in S.duplicated_spans(df, k=3).collect()
+        )
+
+    import re
+
+    import pytest as _pytest
+
+    # a createDataFrame source is itself a LogicalRDD (estimated
+    # Long.Max — above the default gate), so force each side
+    # explicitly; the checkpointed-inventory plan is recognized by an
+    # ExistingRDD scan that carries the hash column __gh
+    inv_scan = re.compile(r"Scan ExistingRDD\[[^\]]*__gh")
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(S, "_INV_CKPT_MAX_BYTES", 1 << 63)
+        with_ckpt = run()
+        plan_ckpt = S.duplicated_spans(df, k=3)._jdf.queryExecution().executedPlan().toString()
+        assert inv_scan.search(plan_ckpt)  # below the gate: materialized
+
+        mp.setattr(S, "_INV_CKPT_MAX_BYTES", 0)
+        without_ckpt = run()
+        plan_two_pass = S.duplicated_spans(df, k=3)._jdf.queryExecution().executedPlan().toString()
+        assert not inv_scan.search(plan_two_pass)  # above: two-pass
+    finally:
+        mp.undo()
+    assert with_ckpt == without_ckpt and with_ckpt
