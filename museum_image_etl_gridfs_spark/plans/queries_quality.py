@@ -266,9 +266,12 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (the per-doc ``drop_duplicates`` on object strings was the
     residual kernel cost after the r12 vectorization, 17.1 task-CPU-s
     at sf0.1). Hash identity is the same 2⁻⁶⁴-per-pair fingerprint
-    trade ``duplicated_spans`` documents (pandas ``hash_array`` —
-    deterministic fixed-key siphash, process-independent); the oracle
-    joins true strings and hash-matches at sf0.001/0.01/0.1. The
+    trade ``duplicated_spans`` documents: each WORD occurrence is
+    hashed once (pandas ``hash_array`` — deterministic fixed-key
+    siphash, process-independent) and the bigram id is an asymmetric
+    64-bit combine of the two word hashes — no bigram string is ever
+    built; the oracle joins true strings and hash-matches at
+    sf0.001/0.01/0.1. The
     ``%97`` eval/train split is applied BELOW the Python stage, so
     each branch gets its own pushed-down parquet filter and every
     document is shingled exactly once — no shared stage to recompute,
@@ -299,17 +302,26 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not mask.any():
                 continue
             exploded = words[mask].explode()
-            # object dtype throughout (np.concatenate would collapse
-            # to fixed-width '<U' and lose elementwise str concat)
             flat = exploded.to_numpy()
             rep = np.repeat(
                 pdf["doc_id"].to_numpy()[mask], lens[mask]
             )
             same = rep[:-1] == rep[1:]
-            grams = (flat[:-1][same] + " ") + flat[1:][same]
-            gh = pd.util.hash_array(grams).view(np.int64)
+            # hash each WORD occurrence once, combine the two word
+            # hashes arithmetically (boost-style asymmetric combine:
+            # order-sensitive, so "a b" != "b a") — building 2.5M
+            # bigram STRINGS just to hash them paid an object concat
+            # + a second per-string hash for every gram
+            hw = pd.util.hash_array(flat)
+            h1, h2 = hw[:-1][same], hw[1:][same]
+            gh = h1 ^ (
+                h2
+                + np.uint64(0x9E3779B97F4A7C15)
+                + (h1 << np.uint64(12))
+                + (h1 >> np.uint64(4))
+            )
             yield pd.DataFrame(
-                {"doc_id": rep[:-1][same], "gh": gh}
+                {"doc_id": rep[:-1][same], "gh": gh.view(np.int64)}
             ).drop_duplicates()
 
     schema = "doc_id bigint, gh bigint"
