@@ -77,6 +77,12 @@ def connected_components(
         # "did anything move?" (guide §2.4: remove shuffles outright);
         # now the check is a narrow scan of the just-materialized
         # checkpoint blocks.
+        # LAZY checkpoint + the changed-count as its materializing
+        # action (r13): eager=True ran one job to persist the blocks
+        # and a second to count changes; a full count() computes EVERY
+        # partition (no limit short-circuit), so the persist happens as
+        # a side effect and each round is ONE job. Lineage is still
+        # truncated at the localCheckpoint boundary once materialized.
         new_cp = tracked_local_checkpoint(
             labels.join(neighbor_min, "vertex", "left")
             .select(
@@ -86,9 +92,8 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             ),
-            eager=True,  # truncate lineage every round
         )
-        changed = new_cp.filter(F.col("__changed")).limit(1).count()
+        changed = new_cp.filter(F.col("__changed")).count()
         # round i's labels are dead once round i+1 is materialized —
         # releasing here caps in-flight checkpoint storage at O(1)
         # rounds instead of O(diameter)
